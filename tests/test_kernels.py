@@ -1,0 +1,137 @@
+"""Unit tests for engine.kernels (SURVEY.md §5.1).
+
+The extract-text tests enforce the byte-identity invariant
+(BASELINE.json:15) against frozen golden fixtures.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from engine.kernels import (
+    canonicalize_batch,
+    canonicalize_url,
+    discovery_seq,
+    extract_links,
+    extract_links_batch,
+    extract_text,
+    extract_text_batch,
+    host_hash64,
+    host_of,
+    key64,
+    key_batch,
+    sha1_key,
+)
+
+FIX = pathlib.Path(__file__).parent / "fixtures" / "extract"
+
+
+CANON_CASES = [
+    ("http://Example.COM/", "http://example.com/"),
+    ("HTTP://EXAMPLE.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("https://example.com:8443/a", "https://example.com:8443/a"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com/a/../b", "http://example.com/b"),
+    ("http://example.com/a/./b", "http://example.com/a/b"),
+    ("http://example.com/a/b/../../c/d", "http://example.com/c/d"),
+    ("http://example.com/../x", "http://example.com/x"),
+    ("http://example.com/a/", "http://example.com/a/"),
+    ("http://example.com/a/..", "http://example.com/"),
+    ("http://example.com/p?b=2&a=1", "http://example.com/p?b=2&a=1"),  # query order kept
+    ("http://example.com/p?x=1#frag", "http://example.com/p?x=1"),
+    ("http://example.com/#frag", "http://example.com/"),
+    ("  http://example.com/x  ", "http://example.com/x"),
+    ("http://user:pw@Example.com/x", "http://user:pw@example.com/x"),
+    ("ftp://Example.com/X#f", "ftp://Example.com/X"),  # non-http: fragment strip only
+    ("http://[2001:DB8::1]:80/x", "http://[2001:db8::1]/x"),
+]
+
+
+@pytest.mark.parametrize("raw,want", CANON_CASES)
+def test_canonicalize_table(raw, want):
+    assert canonicalize_url(raw) == want
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent_and_total(s):
+    once = canonicalize_url(s)
+    assert canonicalize_url(once) == once  # idempotence
+
+
+def test_keys():
+    u = "http://example.com/"
+    k = sha1_key(u)
+    assert len(k) == 20 and k == sha1_key(u)
+    assert 0 <= key64(k) < 2**64
+    assert host_hash64("a.example") != host_hash64("b.example")
+    assert host_of("https://User@A.Example.com:8443/p") == "a.example.com"
+
+
+def test_discovery_seq_breadth_first():
+    k1, k2 = sha1_key("http://a/1"), sha1_key("http://a/2")
+    assert discovery_seq(0, k1) < discovery_seq(1, k2)  # depth dominates
+    assert discovery_seq(3, k1) != discovery_seq(3, k2)
+
+
+def test_extract_text_golden_fixtures():
+    pairs = sorted(FIX.glob("*.html"))
+    assert len(pairs) >= 15, "fixtures missing — run tools/gen_extract_fixtures.py"
+    for h in pairs:
+        want = (FIX / (h.stem + ".txt")).read_bytes()
+        got = extract_text(h.read_bytes()).encode("utf-8")
+        assert got == want, f"byte drift in extract_text for fixture {h.stem}"
+
+
+def test_extract_text_basics():
+    assert extract_text(b"<p>a</p><p>b</p>") == "a\nb"
+    assert extract_text(b"x <b>y</b> z") == "x y z"
+    assert extract_text(b"<script>a</script>b") == "b"
+    assert extract_text(b"") == ""
+    # determinism across calls
+    h = b"<div><p>q</p></div>"
+    assert extract_text(h) == extract_text(h)
+
+
+def test_extract_links_kinds_and_order():
+    html = (
+        b'<a href="/a">1</a><img src="/i.png"><script src="/s.js"></script>'
+        b'<link href="/c.css"><a href="mailto:x@y">m</a><a href="#top">f</a>'
+        b'<a href="http://Other.example/B#z">2</a>'
+    )
+    got = extract_links(html, "https://h.example/p/0")
+    assert got == [
+        ("https://h.example/a", "link", 0),
+        ("https://h.example/i.png", "prereq", 1),
+        ("https://h.example/s.js", "prereq", 2),
+        ("https://h.example/c.css", "prereq", 3),
+        ("http://Other.example/B#z", "link", 4),
+    ]
+
+
+def test_batch_wrappers_roundtrip():
+    t = pa.table({"url": ["HTTP://A.example:80/x/../y#f", "https://b.example/p"]})
+    t = canonicalize_batch(t)
+    assert t["url"].to_pylist() == ["http://a.example/y", "https://b.example/p"]
+    t = key_batch(t)
+    assert t.schema.field("url_key").type == pa.binary(20)
+    assert t["host"].to_pylist() == ["a.example", "b.example"]
+
+    pages = pa.table(
+        {
+            "url": ["https://h.example/p/0"],
+            "html": [b'<p>hi</p><a href="/p/1">x</a>'],
+            "depth": pa.array([0], type=pa.int32()),
+        }
+    )
+    txt = extract_text_batch(pages)
+    assert txt["text"].to_pylist() == ["hi\nx"]
+    links = extract_links_batch(pages)
+    assert links["url"].to_pylist() == ["https://h.example/p/1"]
+    assert links["parent_depth"].to_pylist() == [0]
