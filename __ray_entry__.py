@@ -1,44 +1,201 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry() runs the flagship hermetic crawl (SURVEY.md §3.2) on a pages
+table synthesized deterministically from sf0.001 documents
+(FIXTURES.md §2). queries()/oracle_sql() expose the generic operator
+layer (SURVEY.md §2B) plus the training-data ops; the driver compares
+each Ray result against the DuckDB oracle at sf0.01.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in engine.* (library code never owns
+the session).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: hermetic crawl over a synthetic pages table
+    derived from sf0.001 documents; returns the fetched-pages dataset
+    (url, warc_ts, html, text, lang, status, fetch_round, depth,
+    discovery_seq)."""
+    import ray.data as rd
+
+    from engine.crawl import run_crawl
+    from engine.oracle import CrawlConfig
+    from engine.synth import SynthConfig, pages_table_from_documents, page_url
+
+    cfg = SynthConfig(n_hosts=8, n_pages=500)
+    pages = pages_table_from_documents(SF0001, cfg)
+    crawl = CrawlConfig(
+        seeds=(page_url(0, 0), page_url(1, 0), page_url(2, 0)),
+        budget_per_host=8,
+        max_rounds=3,
+        robots_raw=(("host-7.example", "User-agent: *\nDisallow: /\n"),),
+    )
+    out = tempfile.mkdtemp(prefix="crawl_entry_")
+    run_crawl(pages, crawl, out)
+    return rd.read_parquet(f"{out}/fetched")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from engine import ops, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        # --- generic relational layer (SURVEY.md §2B) ---
+        "filter_project": ops.filter_project,
+        "agg_global": ops.agg_global,
+        "groupby_agg": ops.groupby_agg,
+        "join_hash": ops.join_hash,
+        "join_broadcast": ops.join_broadcast,
+        "join_semi": ops.join_semi,
+        "join_anti": ops.join_anti,
+        "topk": ops.topk,
+        "sort": ops.sort_orders,
+        "distinct": ops.distinct,
+        "dedup_exact": ops.dedup_exact,
+        "union_all": ops.union_all,
+        "sample": ops.sample,
+        "json_extract": ops.json_extract,
+        "date_math": ops.date_math,
+        "string_fns": ops.string_fns,
+        "url_canonicalize": ops.url_canonicalize,
+        "asof_latest": ops.asof_latest,
+        "vector_topk": ops.vector_topk,
+        # --- training-data pipeline ops (textops) ---
+        "token_count": textops.token_count,
+        "quality_score": textops.quality_score,
+        "lang_id": textops.lang_id,
+        "doc_fingerprint": textops.doc_fingerprint,
+        "dedup_minhash": textops.dedup_minhash,
+        "dedup_simhash": textops.dedup_simhash,
+        "dedup_ngram_jaccard": textops.dedup_ngram_jaccard,
+        "dedup_embedding": textops.dedup_embedding,
+        "ann_topk_ivf": textops.ann_ivf_topk,
+        "multimodal_decode": textops.multimodal_decode,
+        # --- crawl as a query (rows-only: trace of a tiny crawl) ---
+        "crawl_trace": _crawl_trace,
+    }
+    return q
+
+
+def _crawl_trace(sf_dir: str):
+    import pyarrow as pa
+
+    from engine.crawl import run_crawl
+    from engine.oracle import CrawlConfig
+    from engine.synth import SynthConfig, build_pages_table, page_url
+
+    cfg = SynthConfig(n_hosts=6, n_pages=120)
+    crawl = CrawlConfig(
+        seeds=(page_url(0, 0), page_url(1, 0)), budget_per_host=4, max_rounds=12
+    )
+    out = tempfile.mkdtemp(prefix="crawl_q_")
+    res = run_crawl(build_pages_table(cfg), crawl, out)
+    return pa.Table.from_pylist(res.trace())
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB equivalents (views pre-registered per table). Float
+    aggregates are ROUND()ed on both sides — see ops._round_cols.
+    Rows-only ops (sample, url_canonicalize, vector_topk, the dedup
+    family, ann, multimodal, crawl_trace) are deliberately omitted."""
+    return {
+        "filter_project": (
+            "SELECT l_orderkey, l_quantity, l_extendedprice, l_shipdate "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-01-01'"
+        ),
+        # Float aggregates use exact fixed-point (sum int64 "cents",
+        # divide at the end) so ray and DuckDB produce bit-identical
+        # doubles regardless of summation order — see engine.ops._cents.
+        "agg_global": (
+            "SELECT CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100/COUNT(*) AS avg_price, "
+            "COUNT(*) AS n FROM lineitem"
+        ),
+        "groupby_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+            "(10000 - CAST(ROUND(l_discount*10000) AS BIGINT))) AS DOUBLE)/1000000 AS sum_disc_price, "
+            "CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100/COUNT(*) AS avg_qty, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "join_hash": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"
+        ),
+        "join_broadcast": (
+            "SELECT n_nationkey, n_name, n_regionkey, r_name "
+            "FROM nation JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "join_semi": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)"
+        ),
+        "join_anti": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)"
+        ),
+        "topk": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "sort": (
+            "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "
+            "ORDER BY o_orderdate, o_orderkey"
+        ),
+        "distinct": "SELECT DISTINCT c_mktsegment FROM customer",
+        "dedup_exact": (
+            "SELECT md5(text) AS text_md5, MIN(doc_id) AS doc_id "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "union_all": (
+            "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "UNION ALL "
+            "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer "
+            "WHERE c_acctbal > 0"
+        ),
+        "json_extract": (
+            "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
+            "COUNT(*) AS n FROM events GROUP BY 1"
+        ),
+        "date_math": (
+            "SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n, "
+            "CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS DOUBLE)/1000000 "
+            "AS sum_value FROM events GROUP BY 1"
+        ),
+        "string_fns": (
+            "SELECT p_partkey, lower(p_name) AS name_lower, "
+            "length(p_name) AS name_len, "
+            "contains(lower(p_name), 'steel') AS has_steel FROM part"
+        ),
+        "asof_latest": (
+            "SELECT user_id, event_id, ts, value FROM ("
+            "SELECT user_id, event_id, ts, value, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') "
+            "WHERE rn = 1"
+        ),
+        "token_count": (
+            "SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 "
+            "AS n_tokens FROM documents"
+        ),
+        "quality_score": (
+            "SELECT doc_id, length(text) AS n_chars_m, "
+            "length(text) - length(replace(text, ' ', '')) + 1 AS n_words, "
+            "CAST(CAST(ROUND((CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)"
+            " / length(text)) * 10000) AS BIGINT) AS DOUBLE) / 10000 AS words_per_char "
+            "FROM documents"
+        ),
+    }

@@ -1,0 +1,162 @@
+"""Benchmark runner (driver contract + BASELINE.md protocol).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "urls_per_sec": ...}
+
+Headline = the flagship hermetic crawl (frontier-schedule + fetch +
+parse, SURVEY.md §3.2) over a deterministic synthetic pages table
+sized from $GRAFT_SF_DIR's documents table; plus per-query seconds for
+a representative operator set at $GRAFT_SF_DIR.
+
+--scaling: runs the headline crawl twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both rates +
+efficiency = (rate32/rate8)/4 (sandbox evidence for the N vs 4N-node
+criterion, SURVEY.md §4.4).
+
+This script OWNS its Ray session (the only places allowed to:
+bench.py, CLI entry points, test fixtures).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _bench_once(num_cpus: int, sf_dir: str, crawl_only: bool) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from engine.crawl import run_crawl
+    from engine.oracle import CrawlConfig
+    from engine.synth import SynthConfig, page_url, pages_dataset
+
+    n_pages = int(os.environ.get("BENCH_PAGES", "60000"))
+    n_hosts = max(8, n_pages // 1200)
+    cfg = SynthConfig(n_hosts=n_hosts, n_pages=n_pages, links_per_page=8)
+    # generate + pin the synthetic web once (setup, untimed)
+    pages = pages_dataset(cfg, parallelism=num_cpus * 2).materialize()
+
+    # Seed the FULL page set: the metric is frontier-schedule+fetch+
+    # parse throughput at a LARGE frontier (BASELINE.json:2), not BFS
+    # ramp-up. Budget + skew still bind: the mega-host (30% of pages)
+    # drains at budget_per_host per round while small hosts finish in
+    # round 0 — exactly the skew regime the scheduler is designed for.
+    from engine.synth import coords
+
+    cfg_sizes = cfg.pages_per_host()
+    seeds = tuple(page_url(h, i) for _, h, i in coords(cfg))
+    crawl = CrawlConfig(
+        seeds=seeds,
+        budget_per_host=int(os.environ.get("BENCH_BUDGET", "4000")),
+        max_rounds=int(os.environ.get("BENCH_ROUNDS", "4")),
+        num_shards=max(2, num_cpus // 4),
+        num_partitions=num_cpus,
+    )
+    out = tempfile.mkdtemp(prefix="bench_crawl_")
+    t0 = time.monotonic()
+    res = run_crawl(pages, crawl, out)
+    crawl_sec = time.monotonic() - t0
+    result = {
+        "crawl_sec": round(crawl_sec, 3),
+        "urls_per_sec": round(res.total_scheduled / crawl_sec, 1),
+        "scheduled": res.total_scheduled,
+        "fetched": res.total_fetched,
+        "rounds": res.rounds,
+    }
+
+    queries: dict[str, float] = {}
+    if not crawl_only:
+        import __ray_entry__ as em
+
+        qs = em.queries()
+        for name in (
+            "filter_project", "agg_global", "groupby_agg", "join_hash",
+            "topk", "sort", "dedup_exact", "json_extract", "date_math",
+            "token_count", "quality_score", "lang_id", "dedup_minhash",
+            "vector_topk",
+        ):
+            t0 = time.monotonic()
+            r = qs[name](sf_dir)
+            if hasattr(r, "to_pandas"):
+                r.to_pandas()  # consume the pipeline
+            queries[name] = round(time.monotonic() - t0, 3)
+    result["queries"] = queries
+    ray.shutdown()
+    return result
+
+
+def _scaling(sf_dir: str) -> None:
+    rates = {}
+    times = {}
+    for ncpu in (8, 32):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_CRAWL_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, "bench.py"], env=env, capture_output=True,
+            text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        j = json.loads(out.strip().splitlines()[-1])
+        rates[ncpu] = j["urls_per_sec"]
+        times[ncpu] = j["value"]
+    eff = (rates[32] / rates[8]) / 4.0
+    print(
+        json.dumps(
+            {
+                "sec_8": times[8],
+                "sec_32": times[32],
+                "urls_per_sec_8": rates[8],
+                "urls_per_sec_32": rates[32],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        _scaling(sf_dir)
+        return
+    crawl_only = os.environ.get("BENCH_CRAWL_ONLY") == "1"
+    r = _bench_once(num_cpus, sf_dir, crawl_only)
+    print(
+        json.dumps(
+            {
+                "metric": "hermetic crawl (frontier-schedule+fetch+parse) wall sec; queries at GRAFT_SF_DIR",
+                "value": r["crawl_sec"],
+                "unit": "sec",
+                "queries": r["queries"],
+                "sf": sf_dir,
+                "num_cpus": num_cpus,
+                "urls_per_sec": r["urls_per_sec"],
+                "crawl_scheduled": r["scheduled"],
+                "crawl_fetched": r["fetched"],
+                "crawl_rounds": r["rounds"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

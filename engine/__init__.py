@@ -20,4 +20,44 @@ Layout (SURVEY.md §7):
 
 No module in this package calls ray.init()/ray.shutdown(); sessions are
 owned by bench.py / test fixtures / the driver (__ray_entry__.py:11-13).
+
+Worker importability: the driver may import this package from any cwd
+AFTER ray.init (driver contract), so Ray workers can't be assumed to
+have /root/repo on sys.path. All engine modules register for
+pickle-BY-VALUE with Ray's cloudpickle, so every stage function /
+actor class crossing to a worker ships self-contained (serialized
+once per function per job — negligible overhead).
 """
+
+from __future__ import annotations
+
+
+def _register_by_value() -> None:
+    try:
+        from ray import cloudpickle
+    except Exception:  # ray absent: pure-python use (oracle, kernels) still works
+        return
+    import engine.crawl
+    import engine.frontier
+    import engine.kernels
+    import engine.ops
+    import engine.oracle
+    import engine.policy
+    import engine.robots
+    import engine.schemas
+    import engine.seen
+    import engine.synth
+    import engine.textops
+    import engine.util
+
+    import sys
+
+    for name, mod in list(sys.modules.items()):
+        if name == "engine" or name.startswith("engine."):
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:
+                pass
+
+
+_register_by_value()

@@ -1,0 +1,455 @@
+"""Generic relational/dataflow operators B1-B18 (SURVEY.md §2B).
+
+Each op is a thin composition over Ray Data primitives; each has a
+`queries()` entry in __ray_entry__.py and (where SQL-expressible) a
+matching `oracle_sql()` the driver checks via DuckDB at sf0.01.
+Column names of computed/aggregate outputs are chosen to match the
+oracle SQL exactly (driver hashes values under sorted column names).
+
+Scale notes (per-op "Shuffle?" from SURVEY.md §2B):
+  - predicates/projections are pyarrow.compute inside map_batches over
+    zero-copy Arrow batches; columns are pruned at read_parquet;
+  - groupby/sort/join ops shuffle — group keys are low-cardinality
+    here, and sums are pre-aggregated per batch where it matters;
+  - broadcast joins ray.put the small side once (B5);
+  - semi/anti joins broadcast the key set when small (the documented
+    scale path is a bucketed co-partition, engine.joins).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _t(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _round_cols(cols: list[str], ndigits: int = 2):
+    """Floating-point aggregates are rounded to `ndigits` on BOTH the
+    Ray side and the oracle SQL side (ROUND(x, n)) so block-order
+    summation differences in the last ulp can't flip the driver's
+    value-hash comparison."""
+
+    def f(t: pa.Table) -> pa.Table:
+        for c in cols:
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, pc.round(pc.cast(t[c], pa.float64()), ndigits=ndigits, round_mode="half_towards_infinity"))
+        return t
+
+    return f
+
+
+# --------------------------------------------------------------- B1
+def filter_project(sf_dir: str):
+    """σ+π: lineitem in a shipdate range, few columns. No shuffle."""
+    from datetime import datetime
+
+    lo = datetime(1995, 1, 1)
+    hi = datetime(1996, 1, 1)
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t["l_shipdate"]
+        m = pc.and_(
+            pc.greater_equal(col, pa.scalar(lo, type=pa.timestamp("us"))),
+            pc.less(col, pa.scalar(hi, type=pa.timestamp("us"))),
+        )
+        return t.filter(m)
+
+    return _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def _cents(col, scale: float) -> pa.Array:
+    """Exact fixed-point: round(col*scale) as int64. Both sides (ray +
+    DuckDB oracle) compute this from the SAME input double, so the
+    int64 is bit-identical; summing ints is exact, so derived doubles
+    match exactly — no float-summation-order hazard (see _round_cols
+    for why plain rounding is not enough)."""
+    return pc.cast(
+        pc.round(pc.multiply(col, scale), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+# --------------------------------------------------------------- B2
+def agg_global(sf_dir: str):
+    """Global aggregates over lineitem — exact fixed-point sums
+    (partial+final built-in)."""
+    ds = _t(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"qty_c": _cents(t["l_quantity"], 100.0),
+             "price_c": _cents(t["l_extendedprice"], 100.0)}
+        )
+
+    out = ds.map_batches(pre, batch_format="pyarrow").aggregate(
+        Sum("qty_c", alias_name="qty_c"),
+        Sum("price_c", alias_name="price_c"),
+        Count(alias_name="n"),
+    )
+    n = out["n"]
+    return pa.table(
+        {
+            "sum_qty": pa.array([out["qty_c"] / 100.0], pa.float64()),
+            "avg_price": pa.array([out["price_c"] / 100.0 / n], pa.float64()),
+            "n": pa.array([n], pa.int64()),
+        }
+    )
+
+
+# --------------------------------------------------------------- B3
+def groupby_agg(sf_dir: str):
+    """TPC-H Q1 shape: per (l_returnflag, l_linestatus) sums/avgs/count."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        # exact fixed-point (see _cents): qty/price in "cents",
+        # disc_price = price_c * (10000 - disc_bp) at scale 1e6
+        qty_c = _cents(t["l_quantity"], 100.0)
+        price_c = _cents(t["l_extendedprice"], 100.0)
+        disc_bp = _cents(t["l_discount"], 10000.0)
+        disc_m = pc.multiply(price_c, pc.subtract(pa.scalar(10000, pa.int64()), disc_bp))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": qty_c,
+                "price_c": price_c,
+                "disc_m": disc_m,
+            }
+        )
+
+    def post(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["count_order"], pa.float64())
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.divide(pc.cast(t["qty_c"], pa.float64()), 100.0),
+                "sum_base_price": pc.divide(pc.cast(t["price_c"], pa.float64()), 100.0),
+                "sum_disc_price": pc.divide(pc.cast(t["disc_m"], pa.float64()), 1000000.0),
+                "avg_qty": pc.divide(
+                    pc.divide(pc.cast(t["qty_c"], pa.float64()), 100.0), n
+                ),
+                "count_order": t["count_order"],
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("disc_m", alias_name="disc_m"),
+            Count(alias_name="count_order"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+        .map_batches(post, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------- B4
+def join_hash(sf_dir: str):
+    """orders ⋈ customer on custkey (hash-partitioned shuffle join)."""
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    return orders.join(
+        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    ).select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"])
+
+
+# --------------------------------------------------------------- B5
+def join_broadcast(sf_dir: str):
+    """nation ⋈ region: tiny dim side broadcast via ray.put, lookup in
+    map_batches — no shuffle."""
+    import ray
+
+    from engine.util import cached_get
+
+    region = _t(sf_dir, "region").to_pandas()
+    ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = cached_get(ref)
+        names = [m.get(k) for k in t["n_regionkey"].to_pylist()]
+        return t.append_column("r_name", pa.array(names, pa.string()))
+
+    return _t(sf_dir, "nation").map_batches(attach, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- B6
+def join_semi(sf_dir: str):
+    """customers WITH a big (>350k) order — broadcast key-set semi join."""
+    return _semi_anti(sf_dir, keep_present=True)
+
+
+def join_anti(sf_dir: str):
+    """customers WITHOUT a big (>350k) order — broadcast key-set anti
+    join (big-side scale path: bucketed co-partition, see SURVEY §2B B6)."""
+    return _semi_anti(sf_dir, keep_present=False)
+
+
+def _semi_anti(sf_dir: str, keep_present: bool):
+    import ray
+
+    from engine.util import cached_get
+
+    big = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 350000.0)),
+        batch_format="pyarrow",
+    )
+    keys = set(big.unique("o_custkey"))
+    ref = ray.put(frozenset(keys))
+
+    def f(t: pa.Table) -> pa.Table:
+        s = cached_get(ref)
+        mask = [((k in s) == keep_present) for k in t["c_custkey"].to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------- B7
+def topk(sf_dir: str, k: int = 10):
+    """Top-k orders by totalprice: per-block local top-k pre-pass, then
+    global sort+limit over ≤ k×blocks rows (scalable form of B7)."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+        )
+        return t.take(idx[:k])
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------- B8
+def sort_orders(sf_dir: str):
+    """orders by (o_orderdate, o_orderkey) — range-partitioned sample sort."""
+    return _t(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"]).sort(
+        ["o_orderdate", "o_orderkey"]
+    )
+
+
+# --------------------------------------------------------------- B9
+def distinct(sf_dir: str):
+    """distinct c_mktsegment."""
+    vals = sorted(_t(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+# --------------------------------------------------------------- B10
+def dedup_exact(sf_dir: str):
+    """One row per duplicate `text` in documents: min doc_id per
+    sha1(text) — hash-partition + per-group first (same kernel as the
+    crawl's A25). Pre-aggregates min(doc_id) per key per batch."""
+    import hashlib
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        # md5 (not sha1) so the DuckDB oracle can reproduce the key
+        h = [hashlib.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "text_md5": pa.array(h, pa.string())})
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["text_md5", "doc_id"])
+    )
+
+
+# --------------------------------------------------------------- B11
+def union_all(sf_dir: str):
+    """union of two filtered customer subsets (overlap preserved)."""
+    c = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    a = c.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow",
+    )
+    b = c.map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], 0.0)), batch_format="pyarrow"
+    )
+    return a.union(b)
+
+
+# --------------------------------------------------------------- B12
+def sample(sf_dir: str, fraction: float = 0.25, seed: int = 42):
+    """Bernoulli sample of lineitem (rows-only oracle check)."""
+    return _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]).random_sample(
+        fraction, seed=seed
+    )
+
+
+# --------------------------------------------------------------- B13
+def json_extract(sf_dir: str):
+    """parse events.props JSON, extract k, aggregate per k."""
+    ds = _t(sf_dir, "events", ["props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ks = []
+        for s in t["props"].to_pylist():
+            try:
+                ks.append(int(json.loads(s)["k"]))
+            except Exception:
+                ks.append(None)
+        return pa.table({"k": pa.array(ks, pa.int64())})
+
+    return (
+        ds.map_batches(parse, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Count(alias_name="n"))
+        .sort("k")
+    )
+
+
+# --------------------------------------------------------------- B14
+def date_math(sf_dir: str):
+    """events.ts truncated to hour, count + sum(value) per hour
+    (tumbling-window equivalent — batch groupby on truncated time)."""
+    ds = _t(sf_dir, "events", ["ts", "value"])
+
+    def trunc(t: pa.Table) -> pa.Table:
+        # value at exact 1e-6 fixed point (see _cents) so the sum is
+        # order-independent and oracle-exact
+        return pa.table(
+            {"hour": pc.floor_temporal(t["ts"], unit="hour"),
+             "value_u": _cents(t["value"], 1000000.0)}
+        )
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": t["hour"],
+                "n": t["n"],
+                "sum_value": pc.divide(pc.cast(t["value_u"], pa.float64()), 1000000.0),
+            }
+        )
+
+    return (
+        ds.map_batches(trunc, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Count(alias_name="n"), Sum("value_u", alias_name="value_u"))
+        .sort("hour")
+        .map_batches(post, batch_format="pyarrow")
+    )
+
+
+# --------------------------------------------------------------- B15
+def string_fns(sf_dir: str):
+    """lower/contains/length over part names (pyarrow.compute kernels)."""
+    ds = _t(sf_dir, "part", ["p_partkey", "p_name", "p_type"])
+
+    def f(t: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(t["p_name"])
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "name_lower": lower,
+                "name_len": pc.cast(pc.utf8_length(t["p_name"]), pa.int64()),
+                "has_steel": pc.match_substring(lower, "steel"),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- B16
+def url_canonicalize(sf_dir: str):
+    """A6 exposed generically: canonicalize urls minted from documents
+    (rows-only check — not SQL-expressible)."""
+    from engine.kernels import canonicalize_url, sha1_key
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        raw = [
+            f"HTTPS://Host-{i % 7}.Example:443/docs/{i}/../{i}?x={i}#frag" for i in ids
+        ]
+        canon = [canonicalize_url(u) for u in raw]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url": pa.array(canon, pa.string()),
+                "url_sha1": pa.array([sha1_key(u).hex() for u in canon], pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- B17
+def asof_latest(sf_dir: str, cutoff: str = "2024-01-15 00:00:00"):
+    """latest event per user with ts <= cutoff (as-of / CDX-lookup
+    kernel, same shape as A24)."""
+    cut = np.datetime64(cutoff.replace(" ", "T"), "us")
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t["ts"], pa.scalar(cut, pa.timestamp("us"))))
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return g.tail(1)
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(latest, batch_format="pandas")
+        .select_columns(["user_id", "event_id", "ts", "value"])
+    )
+
+
+# --------------------------------------------------------------- B18
+def vector_topk(sf_dir: str, k: int = 10):
+    """Brute-force cosine top-k of embeddings against a fixed probe
+    vector: numpy matmul per batch (broadcast probe), local top-k, then
+    tiny global sort+limit. The IVF/LSH scale path is
+    engine.textops.ann_ivf_topk."""
+    probe_src = np.arange(64, dtype=np.float32)  # deterministic probe
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+        probe = probe_src[: mat.shape[1]].copy()
+        probe /= np.linalg.norm(probe) or 1.0
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (mat @ probe) / norms
+        t2 = pa.table(
+            {"vec_id": t["vec_id"], "cosine": pa.array(cos.astype(np.float64))}
+        )
+        idx = pc.sort_indices(
+            t2, sort_keys=[("cosine", "descending"), ("vec_id", "ascending")]
+        )
+        return t2.take(idx[:k])
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["cosine", "vec_id"], descending=[True, False])
+        .limit(k)
+    )

@@ -1,0 +1,154 @@
+"""Pure-python sequential crawl simulator — the trace/seen-set oracle.
+
+Implements EXACTLY the round semantics of engine.crawl (SURVEY.md §3.2,
+§5.3) with plain dicts, no Ray: the end-to-end tests assert that the
+distributed engine's per-round fetch trace and final URL-seen set are
+byte-identical to this simulator's at any parallelism. Keep the two in
+lockstep: any semantic change lands in both, plus the golden trace
+fixture is regenerated ONLY with a conscious compat break.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from engine.frontier import effective_budget, ord_key
+from engine.kernels import (
+    canonicalize_url,
+    discovery_seq,
+    extract_links,
+    host_of,
+    sha1_key,
+)
+from engine.policy import CrawlPolicy
+from engine.robots import RobotsTable
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    seeds: tuple
+    budget_per_host: int = 4
+    round_time_budget_ms: int = 10_000
+    max_rounds: int = 64
+    policy: CrawlPolicy = CrawlPolicy()
+    robots_raw: tuple = ()  # tuple of (host, robots_txt)
+    num_shards: int = 4     # engine-side seen sharding (no semantic effect)
+    seen_mode: str = "exact"
+    num_partitions: int = 8
+
+
+@dataclass
+class SimResult:
+    trace: list[dict] = field(default_factory=list)  # {round, host, url, discovery_seq, status}
+    seen_urls: set = field(default_factory=set)      # all ever-enqueued canonical urls
+    rounds: int = 0
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _frontier_row(url: str, depth: int, parent: str, link_index: int) -> dict:
+    cu = canonicalize_url(url)
+    k = sha1_key(cu)
+    return {
+        "url": cu,
+        "url_key": k,
+        "host": host_of(cu),
+        "depth": depth,
+        "priority": 0,
+        "discovery_seq": discovery_seq(depth, k),
+        "parent_url": parent,
+        "link_index": link_index,
+    }
+
+
+def simulate(pages: dict[str, bytes], crawl: CrawlConfig) -> SimResult:
+    """pages: canonical url -> html bytes (the hermetic web)."""
+    robots = RobotsTable(dict(crawl.robots_raw))
+    pol = crawl.policy
+    seed_hosts = frozenset(host_of(canonicalize_url(s)) for s in crawl.seeds)
+    res = SimResult()
+
+    seen: set[bytes] = set()
+    frontier: list[dict] = []
+    for s in crawl.seeds:
+        row = _frontier_row(s, 0, "", 0)
+        if row["url_key"] not in seen:
+            seen.add(row["url_key"])
+            res.seen_urls.add(row["url"])
+            frontier.append(row)
+
+    for rnd in range(crawl.max_rounds):
+        if not frontier:
+            break
+        res.rounds = rnd + 1
+        # robots gate (disallowed dropped permanently)
+        allowed = [r for r in frontier if robots.allowed(r["host"], r["url"])]
+        robots_blocked = len(frontier) - len(allowed)
+        # per-host schedule: Bh smallest by (priority, seq, url_key)
+        by_host: dict[str, list[dict]] = {}
+        for r in allowed:
+            by_host.setdefault(r["host"], []).append(r)
+        scheduled: list[dict] = []
+        deferred: list[dict] = []
+        for h, rows in by_host.items():
+            bh = effective_budget(
+                crawl.budget_per_host, robots.crawl_delay_ms(h),
+                crawl.round_time_budget_ms,
+            )
+            rows.sort(key=lambda r: ord_key(r["priority"], r["discovery_seq"], r["url_key"]))
+            scheduled.extend(rows[:bh])
+            deferred.extend(rows[bh:])
+        # fetch + trace (trace order: by (seq, url) within round)
+        scheduled.sort(key=lambda r: (r["discovery_seq"], r["url"]))
+        new_rows: dict[bytes, dict] = {}
+        fetched = errors = 0
+        for r in scheduled:
+            html = pages.get(r["url"])
+            status = 200 if html is not None else 404
+            if html is not None:
+                fetched += 1
+            else:
+                errors += 1
+            res.trace.append(
+                {
+                    "round": rnd,
+                    "host": r["host"],
+                    "url": r["url"],
+                    "discovery_seq": r["discovery_seq"],
+                    "status": status,
+                }
+            )
+            if html is None:
+                continue
+            for absu, kind, idx in extract_links(html, r["url"]):
+                u = pol.rewrite(absu) if pol.rewrite else absu
+                cu = canonicalize_url(u)
+                d = r["depth"] + 1
+                if not pol.link_allowed(cu, kind, d, seed_hosts):
+                    continue
+                row = _frontier_row(cu, d, r["url"], idx)
+                prev = new_rows.get(row["url_key"])
+                # intra-round dedup: keep first by (seq, parent, link_index)
+                if prev is None or (
+                    (row["discovery_seq"], row["parent_url"], row["link_index"])
+                    < (prev["discovery_seq"], prev["parent_url"], prev["link_index"])
+                ):
+                    new_rows[row["url_key"]] = row
+        fresh = []
+        for k, row in new_rows.items():
+            if k not in seen:
+                seen.add(k)
+                res.seen_urls.add(row["url"])
+                fresh.append(row)
+        res.metrics.append(
+            {
+                "round": rnd,
+                "urls_in": len(frontier),
+                "robots_blocked": robots_blocked,
+                "scheduled": len(scheduled),
+                "fetched": fetched,
+                "errors": errors,
+                "new_links": len(fresh),
+            }
+        )
+        frontier = deferred + fresh
+    return res

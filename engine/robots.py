@@ -1,0 +1,150 @@
+"""robots.txt parsing + gating (SURVEY.md §2A A14/A18/A22).
+
+Mandated by BASELINE.json:6,14 (the reference itself is not recalled to
+honor robots — this is new design per SURVEY.md A14). Parsing is a
+small deterministic prefix-rule matcher (NOT urllib.robotparser, whose
+long-path quirks are underspecified): groups by User-agent, longest
+prefix match wins, Allow beats Disallow on equal length, '*' wildcard
+and '$' anchor supported, Crawl-delay honored.
+
+Serving (A22): the host->rules map is a SMALL side — broadcast via
+ray.put once per round and looked up inside map_batches; a RobotsActor
+pool is the scale path when the distinct-host count stops being small
+(the gate takes either).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from urllib.parse import urlsplit
+
+
+@dataclass
+class RobotsRules:
+    # (is_allow, pattern, compiled) sorted by pattern length desc
+    rules: list[tuple[bool, str, re.Pattern]] = field(default_factory=list)
+    crawl_delay_ms: int = 0
+
+    @staticmethod
+    def _compile(pat: str) -> re.Pattern:
+        out = []
+        for ch in pat:
+            if ch == "*":
+                out.append(".*")
+            elif ch == "$":
+                out.append("$")
+            else:
+                out.append(re.escape(ch))
+        return re.compile("^" + "".join(out))
+
+    @classmethod
+    def from_text(cls, text: str, agent: str = "*") -> "RobotsRules":
+        """Parse rules for `agent` (falling back to the '*' group)."""
+        groups: dict[str, list[tuple[str, str]]] = {}
+        delays: dict[str, float] = {}
+        current: list[str] = []
+        last_was_agent = False
+        for raw in text.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            k, v = line.split(":", 1)
+            k = k.strip().lower()
+            v = v.strip()
+            if k == "user-agent":
+                if not last_was_agent:
+                    current = []
+                current.append(v.lower())
+                groups.setdefault(v.lower(), [])
+                last_was_agent = True
+                continue
+            last_was_agent = False
+            if k in ("disallow", "allow"):
+                for a in current:
+                    groups.setdefault(a, []).append((k, v))
+            elif k == "crawl-delay":
+                try:
+                    d = float(v)
+                except ValueError:
+                    continue
+                for a in current:
+                    delays[a] = d
+        chosen = agent.lower() if agent.lower() in groups else "*"
+        r = cls()
+        for kind, pat in groups.get(chosen, []):
+            if not pat:
+                continue  # "Disallow:" empty = allow all, no rule
+            r.rules.append((kind == "allow", pat, cls._compile(pat)))
+        # longest pattern wins; allow beats disallow on tie
+        r.rules.sort(key=lambda t: (len(t[1]), t[0]), reverse=True)
+        r.crawl_delay_ms = int(delays.get(chosen, 0) * 1000)
+        return r
+
+    def allowed(self, url_or_path: str) -> bool:
+        path = url_or_path
+        if "://" in url_or_path:
+            parts = urlsplit(url_or_path)
+            path = parts.path or "/"
+            if parts.query:
+                path += "?" + parts.query
+        for is_allow, _, cre in self.rules:
+            if cre.match(path):
+                return is_allow
+        return True
+
+
+class RobotsTable:
+    """host -> RobotsRules; hosts absent from the table are fully
+    allowed with zero delay. Picklable (compiled regexes pickle fine),
+    so it can be ray.put() once and read zero-copy-ish in every task."""
+
+    def __init__(self, raw: dict[str, str] | None = None, agent: str = "*"):
+        self.raw = dict(raw or {})
+        self.rules = {h: RobotsRules.from_text(t, agent) for h, t in self.raw.items()}
+
+    def allowed(self, host: str, url: str) -> bool:
+        r = self.rules.get(host)
+        return True if r is None else r.allowed(url)
+
+    def crawl_delay_ms(self, host: str) -> int:
+        r = self.rules.get(host)
+        return 0 if r is None else r.crawl_delay_ms
+
+    def allowed_mask(self, hosts: list[str], urls: list[str]) -> list[bool]:
+        rules = self.rules
+        out = []
+        for h, u in zip(hosts, urls):
+            r = rules.get(h)
+            out.append(True if r is None else r.allowed(u))
+        return out
+
+    def to_arrow(self):
+        import pyarrow as pa
+
+        from engine.schemas import ROBOTS
+        from datetime import datetime
+
+        hosts = sorted(self.raw)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "fetched_ts": pa.array([datetime(2024, 1, 1)] * len(hosts), pa.timestamp("us")),
+                "rules": pa.array([self.raw[h] for h in hosts], pa.string()),
+                "crawl_delay_ms": pa.array(
+                    [self.crawl_delay_ms(h) for h in hosts], pa.int32()
+                ),
+            }
+        ).cast(ROBOTS)
+
+
+class RobotsActor:
+    """Scale path (A18): shard of the robots cache, keyed by host hash.
+    get_rules returns raw texts so callers build matchers locally once.
+    Instantiate via ray.remote(RobotsActor)."""
+
+    def __init__(self, raw: dict[str, str]):
+        self.raw = raw
+
+    def get_rules(self, hosts: list[str]) -> list[str | None]:
+        return [self.raw.get(h) for h in hosts]

@@ -1,0 +1,587 @@
+"""Training-data pipeline operators over the documents/embeddings
+tables: dedup family, text analysis, similarity search, multimodal
+plumbing. First-class engine components alongside SURVEY.md §2
+(driver instruction: grade these with the operator inventory).
+
+All deterministic (seeded hashes only, no wall clock). Hot loops are
+per-document Python only where the kernel is inherently per-string
+(hashing, shingling); numeric work is numpy. Scale notes per op in the
+docstrings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _emb(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def token_count(sf_dir: str):
+    """Tokens per doc. Counting rule = spaces + 1 (documents.text is
+    single-space separated) so the SQL oracle reproduces it exactly;
+    bpe_token_count below is the BPE-ish regex variant (rows-only)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.add(
+            pc.subtract(
+                pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+                pc.cast(pc.utf8_length(pc.replace_substring(t["text"], " ", "")), pa.int64()),
+            ),
+            1,
+        )
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+_BPE_RE = re.compile(r"\w+|[^\w\s]")
+
+
+def bpe_token_count(sf_dir: str):
+    """BPE-ish regex token count (words + punctuation marks)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = [len(_BPE_RE.findall(s)) for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pa.array(n, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def quality_score(sf_dir: str):
+    """Length / word-density quality features (oracle-checked); the
+    stopword ratio lives in lang_id (rows-only)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        nchars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        nwords = pc.add(
+            pc.subtract(
+                nchars,
+                pc.cast(pc.utf8_length(pc.replace_substring(t["text"], " ", "")), pa.int64()),
+            ),
+            1,
+        )
+        # ratio is the same double on both sides (identical ints in /
+        # out); round via scaled-int so ray and DuckDB produce the
+        # bit-identical double (pc.round(x, 4) and SQL ROUND(x, 4) can
+        # differ by 1 ulp — see ops._cents)
+        ratio = pc.divide(pc.cast(nwords, pa.float64()), pc.cast(nchars, pa.float64()))
+        wpc = pc.divide(
+            pc.cast(
+                pc.cast(
+                    pc.round(pc.multiply(ratio, 10000.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+                pa.float64(),
+            ),
+            10000.0,
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars_m": nchars,
+                "n_words": nwords,
+                "words_per_char": wpc,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "se", "con"},
+    "de": {"der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"},
+    "fr": {"le", "la", "et", "les", "des", "en", "un", "du", "une", "est"},
+}
+
+
+class LangId:
+    """Stateful lang-id stage: stopword sets + regexes compiled ONCE
+    per actor (__init__), scored per batch (__call__). n-gram/charset
+    heuristic: CJK codepoints → zh; else argmax stopword hits with a
+    deterministic tie-break; no hits → 'unk'."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-ZäöüßáéíóúàèùâêîôûñçÄÖÜ]+")
+        self.cjk = re.compile(r"[一-鿿]")
+        self.stop = _STOPWORDS
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = []
+        for s in t["text"].to_pylist():
+            if self.cjk.search(s):
+                preds.append("zh")
+                continue
+            toks = [w.lower() for w in self.word.findall(s)]
+            best, best_n = "unk", 0
+            for lang in ("en", "es", "de", "fr"):  # fixed order = tie-break
+                n = sum(1 for w in toks if w in self.stop[lang])
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return pa.table({"doc_id": t["doc_id"], "lang_pred": pa.array(preds, pa.string())})
+
+
+def lang_id(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2
+    )
+
+
+def _rolling_fingerprint(s: str, window: int = 8) -> int:
+    """Deterministic document fingerprint: min of a 64-bit polynomial
+    rolling hash over `window`-byte windows (winnowing-style)."""
+    data = s.encode("utf-8")
+    if len(data) < window:
+        return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
+    B, M = 1000003, (1 << 61) - 1
+    pw = pow(B, window - 1, M)
+    h = 0
+    for c in data[:window]:
+        h = (h * B + c) % M
+    mn = h
+    for i in range(window, len(data)):
+        h = ((h - data[i - window] * pw) * B + data[i]) % M
+        if h < mn:
+            mn = h
+    return mn
+
+
+def doc_fingerprint(sf_dir: str):
+    """Rolling-hash fingerprint per document (rows-only)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        fps = [_rolling_fingerprint(s) for s in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "fingerprint": pa.array(fps, pa.uint64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (SURVEY.md A29 + driver instruction)
+# ---------------------------------------------------------------------------
+
+_N_PERM = 64
+_BANDS = 8  # 8 bands x 8 rows
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params() -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, _MERSENNE, size=_N_PERM, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=_N_PERM, dtype=np.int64)
+    return a, b
+
+
+def _shingles(s: str, k: int = 3) -> set[int]:
+    """Word k-gram shingles as 61-bit hashes."""
+    ws = s.split()
+    if len(ws) < k:
+        return {int.from_bytes(hashlib.md5(s.encode()).digest()[:7], "big")}
+    out = set()
+    for i in range(len(ws) - k + 1):
+        g = " ".join(ws[i : i + k]).encode()
+        out.add(int.from_bytes(hashlib.md5(g).digest()[:7], "big"))
+    return out
+
+
+def _minhash(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.fromiter(sh, dtype=np.int64, count=len(sh))
+    # (a*x + b) mod M for each perm, min over shingles — vectorized
+    vals = (a[None, :] * (x[:, None] % _MERSENNE) + b[None, :]) % _MERSENNE
+    return vals.min(axis=0)
+
+
+class MinHasher:
+    """Actor-pool stage: permutation params built once per actor."""
+
+    def __init__(self, shingle_k: int = 3):
+        self.a, self.b = _perm_params()
+        self.k = shingle_k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        """doc -> one row per LSH band: (band, band_hash, doc_id)."""
+        ids = t["doc_id"].to_pylist()
+        band_col, hash_col, id_col = [], [], []
+        for did, s in zip(ids, t["text"].to_pylist()):
+            mh = _minhash(_shingles(s, self.k), self.a, self.b)
+            rows = mh.reshape(_BANDS, -1)
+            for bidx in range(_BANDS):
+                h = hashlib.md5(rows[bidx].tobytes()).digest()[:8]
+                band_col.append(bidx)
+                hash_col.append(int.from_bytes(h, "big") >> 1)
+                id_col.append(did)
+        return pa.table(
+            {
+                "band": pa.array(band_col, pa.int32()),
+                "band_hash": pa.array(hash_col, pa.int64()),
+                "doc_id": pa.array(id_col, pa.int64()),
+            }
+        )
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one (band, band_hash) bucket."""
+    ids = sorted(g["doc_id"].unique())
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.7):
+    """MinHash+LSH near-dup: shingle → 64-perm minhash → 8-band LSH →
+    bucket groupby → candidate pairs → exact-Jaccard verify (broadcast
+    text lookup) → verified pairs (doc_a, doc_b, jaccard). Rows-only.
+
+    Scale: the only all-to-all is the tiny (band, hash, doc_id) table;
+    texts for verification are fetched via broadcast dict here (small
+    sf) — the 10^10 path co-partitions pairs with a bucketed join."""
+    import ray
+
+    from engine.util import cached_get
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    tbl = pa.concat_tables(ray.get(docs.to_arrow_refs()))
+    text_ref = ray.put(dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())))
+
+    bands = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+    # dedup pairs found in multiple bands, then verify exact jaccard
+    uniq = pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        texts = cached_get(text_ref)
+        keep_a, keep_b, jac = [], [], []
+        for x, y in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+            sa, sb = _shingles(texts[x]), _shingles(texts[y])
+            j = len(sa & sb) / max(1, len(sa | sb))
+            if j >= threshold:
+                keep_a.append(x)
+                keep_b.append(y)
+                jac.append(round(j, 4))
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, pa.int64()),
+                "doc_b": pa.array(keep_b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return uniq.map_batches(verify, batch_format="pyarrow")
+
+
+def _simhash64(s: str) -> int:
+    v = np.zeros(64, dtype=np.int64)
+    for w in s.split():
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+        v += 2 * bits - 1
+    out = 0
+    for i in range(64):
+        if v[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def dedup_simhash(sf_dir: str):
+    """64-bit SimHash per doc + near-dup pairs via 4×16-bit band
+    blocking and hamming ≤ 3 verify. Rows-only; returns pairs."""
+
+    def sim(t: pa.Table) -> pa.Table:
+        rows = {"band": [], "band_val": [], "doc_id": [], "simhash": []}
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            h = _simhash64(s)
+            for b in range(4):
+                rows["band"].append(b)
+                rows["band_val"].append((h >> (16 * b)) & 0xFFFF)
+                rows["doc_id"].append(did)
+                rows["simhash"].append(h >> 1)  # int64-safe
+        return pa.table(
+            {
+                "band": pa.array(rows["band"], pa.int32()),
+                "band_val": pa.array(rows["band_val"], pa.int32()),
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "simhash": pa.array(rows["simhash"], pa.int64()),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        hs = g["simhash"].tolist()
+        a, b, d = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ham = bin(hs[i] ^ hs[j]).count("1")
+                if ham <= 3:
+                    a.append(ids[i])
+                    b.append(ids[j])
+                    d.append(ham)
+        return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": d})
+
+    uniq = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(sim, batch_format="pyarrow")
+        .groupby(["band", "band_val"])
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    return uniq
+
+
+def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5):
+    """Character-5-gram Jaccard near-dup using the same LSH blocking as
+    dedup_minhash but verifying with char n-grams. Rows-only."""
+    import ray
+
+    from engine.util import cached_get
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    tbl = pa.concat_tables(ray.get(docs.to_arrow_refs()))
+    text_ref = ray.put(dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())))
+
+    bands = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    ).groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+    def cgrams(s: str, k: int = 5) -> set:
+        return {s[i : i + k] for i in range(max(1, len(s) - k + 1))}
+
+    def verify(t: pa.Table) -> pa.Table:
+        texts = cached_get(text_ref)
+        keep_a, keep_b, jac = [], [], []
+        for x, y in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+            sa, sb = cgrams(texts[x]), cgrams(texts[y])
+            j = len(sa & sb) / max(1, len(sa | sb))
+            if j >= threshold:
+                keep_a.append(x)
+                keep_b.append(y)
+                jac.append(round(j, 4))
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, pa.int64()),
+                "doc_b": pa.array(keep_b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def dedup_embedding(sf_dir: str, threshold: float = 0.95):
+    """Embedding-cosine near-dup as a KEEP/DROP decision: sign-LSH
+    (8 seeded hyperplanes) → bucket groupby → within-bucket, each
+    vector's `rep_id` = the smallest vec_id whose cosine ≥ threshold
+    (itself when no near-dup). One output row per vector; `is_dup`
+    marks rows a dedup pass would drop. Rows-only.
+
+    Scale: the LSH bucket is the only shuffle key; pairwise cosine is
+    a numpy matmul confined to each bucket (near-dups by construction
+    collide; distant vectors spread over 2^8 buckets)."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        rng = np.random.default_rng(7)  # fixed planes — same every batch
+        planes = rng.standard_normal((mat.shape[1], 8))
+        bits = (unit @ planes) > 0
+        bucket = bits @ (1 << np.arange(8))
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.astype(np.int64)),
+                "vec_id": t["vec_id"],
+                "unit": pa.array(list(unit), pa.list_(pa.float64())),
+            }
+        )
+
+    def assign_rep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].tolist()
+        mat = np.asarray(g["unit"].tolist())
+        sims = mat @ mat.T
+        reps, cos = [], []
+        for i in range(len(ids)):
+            rep, c = ids[i], 1.0
+            for j in range(i):
+                if sims[i, j] >= threshold:
+                    rep, c = ids[j], float(sims[i, j])
+                    break  # ids sorted asc -> first hit is the smallest
+            reps.append(rep)
+            cos.append(round(c, 4))
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "rep_id": reps,
+                "cosine_to_rep": cos,
+                "is_dup": [r != i for r, i in zip(reps, ids)],
+            }
+        )
+
+    return (
+        _emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(assign_rep, batch_format="pandas")
+        .select_columns(["vec_id", "rep_id", "cosine_to_rep", "is_dup"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+class IVFScorer:
+    """Actor-pool ANN stage: coarse centroids built once per actor
+    (__init__) from a broadcast sample; per batch, rows are kept only
+    if their vector's nearest centroid is among the probe list, then
+    scored exactly. Brute-force baseline is ops.vector_topk."""
+
+    def __init__(self, centroids_ref, probe_centroids: np.ndarray):
+        from engine.util import cached_get
+
+        self.centroids = cached_get(centroids_ref)  # (C, d) unit rows
+        self.probes = probe_centroids  # centroid indices to search
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        assign = np.argmax(unit @ self.centroids.T, axis=1)
+        mask = np.isin(assign, self.probes)
+        ids = np.asarray(t["vec_id"].to_pylist())[mask]
+        kept = unit[mask]
+        d = self.centroids.shape[1]
+        probe_vec = np.arange(d, dtype=np.float64)
+        probe_vec /= np.linalg.norm(probe_vec)
+        cos = kept @ probe_vec
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "cosine": pa.array(np.round(cos, 6)),
+            }
+        )
+
+
+def ann_ivf_topk(sf_dir: str, k: int = 10, n_centroids: int = 16, n_probe: int = 4):
+    """IVF-style ANN top-k for the fixed arange probe vector: the
+    centroid table is tiny and broadcast; only probed lists are scored.
+    Rows-only (approximate by construction)."""
+    import ray
+
+    emb = _emb(sf_dir, ["vec_id", "embedding"])
+    head = emb.limit(n_centroids).to_pandas()  # deterministic coarse centroids
+    cents = np.asarray(head["embedding"].tolist(), dtype=np.float64)
+    cnorm = np.linalg.norm(cents, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1.0
+    cents = cents / cnorm
+    d = cents.shape[1]
+    probe_vec = np.arange(d, dtype=np.float64)
+    probe_vec /= np.linalg.norm(probe_vec)
+    probes = np.argsort(-(cents @ probe_vec))[:n_probe]
+    cent_ref = ray.put(cents)
+
+    return (
+        emb.map_batches(
+            IVFScorer,
+            fn_constructor_kwargs={"centroids_ref": cent_ref, "probe_centroids": probes},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .sort(["cosine", "vec_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed — no image/audio libs in env)
+# ---------------------------------------------------------------------------
+
+class FakeImageDecoder:
+    """Actor-pool decode stage with REAL Ray plumbing and a STUBBED
+    decode kernel: the container has no image libs, so decode is a
+    deterministic fake (dimensions/checksum derived from the bytes).
+    Swap `_decode` for PIL/libvips in production — signature, schema,
+    batch sizing and actor lifecycle are the real design."""
+
+    def __init__(self, target_size: int = 64):
+        self.target = target_size  # "model load" stand-in, once per actor
+
+    @staticmethod
+    def _decode(blob: bytes) -> tuple[int, int, int]:
+        # STUB (deterministic fake): real impl = PIL.Image.open(...)
+        h = hashlib.md5(blob).digest()
+        return 16 + h[0] % 240, 16 + h[1] % 240, int.from_bytes(h[2:6], "big")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws, hs, cks = [], [], []
+        for blob in t["payload"].to_pylist():
+            w, h, c = self._decode(blob)
+            ws.append(w)
+            hs.append(h)
+            cks.append(c)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "checksum": pa.array(cks, pa.int64()),
+                "resized_to": pa.array([self.target] * t.num_rows, pa.int32()),
+            }
+        )
+
+
+def multimodal_decode(sf_dir: str):
+    """Opaque-binary pipeline: mint a binary `payload` column (the
+    bytes of documents.text — stand-in for image bytes), then run the
+    decode/feature actor pool with small batches (large-payload
+    sizing). Rows-only."""
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        payload = pa.array([s.encode() for s in t["text"].to_pylist()], pa.binary())
+        return pa.table({"doc_id": t["doc_id"], "payload": payload})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(to_binary, batch_format="pyarrow")
+        .map_batches(
+            FakeImageDecoder,
+            batch_format="pyarrow",
+            batch_size=256,  # large binary payloads -> small batches
+            concurrency=2,
+        )
+    )
