@@ -33,9 +33,31 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import pathlib
 import time
 from dataclasses import dataclass, field
+
+_PROFILE = os.environ.get("CRAWL_PROFILE") == "1"
+
+
+class _Prof:
+    """Phase timer: active only with CRAWL_PROFILE=1 (prints one line
+    per phase per round to stderr)."""
+
+    def __init__(self, rnd: int):
+        self.rnd = rnd
+        self.t = time.monotonic()
+
+    def mark(self, name: str) -> None:
+        if _PROFILE:
+            now = time.monotonic()
+            import sys
+
+            print(f"[prof] r{self.rnd} {name} {now - self.t:.2f}s", file=sys.stderr)
+            self.t = now
+        else:
+            self.t = time.monotonic()
 
 import numpy as np
 import pyarrow as pa
@@ -44,14 +66,15 @@ import pyarrow.parquet as pq
 
 from engine import frontier as fr
 from engine.kernels import (
+    LINKS_TYPE,
     canonicalize_url,
     discovery_seq,
-    extract_links_batch,
-    extract_text_batch,
+    extract_page_batch,
     host_hash64,
     host_of,
     key64,
-    key_batch,
+    key64s_of_matrix,
+    keys_matrix,
     sha1_key,
 )
 from engine.oracle import CrawlConfig
@@ -89,15 +112,16 @@ def seen_filter_fn(actors, num_shards: int, round_no: int):
 
         if t.num_rows == 0:
             return t
-        keys = t["url_key"].to_pylist()
-        shards = np.array([key64(k) % num_shards for k in keys])
-        mask = np.zeros(len(keys), dtype=bool)
+        mat = keys_matrix(t["url_key"])
+        shards = key64s_of_matrix(mat) % np.uint64(num_shards)
+        mask = np.zeros(t.num_rows, dtype=bool)
         futs = []
         for s in range(num_shards):
             idx = np.flatnonzero(shards == s)
             if len(idx):
+                # packed blob RPC: one bytes object instead of a list
                 futs.append((idx, actors[s].check_and_add.remote(
-                    [keys[i] for i in idx], round_no)))
+                    mat[idx].tobytes(), round_no)))
         for idx, f in futs:
             mask[idx] = ray.get(f)
         return t.filter(pa.array(mask))
@@ -105,34 +129,78 @@ def seen_filter_fn(actors, num_shards: int, round_no: int):
     return seen_filter
 
 
+def _explode_links(t: pa.Table) -> pa.Table:
+    """fetched rows (url, links:list<struct>, depth) → one row per
+    out-link, LINKS-shaped. Fully arrow-native (list_flatten +
+    list_parent_indices + take) — to_pylist on nested structs costs
+    ~10µs/element and dominated this stage before."""
+    t = t.combine_chunks()
+    lcol = t["links"].chunk(0) if t["links"].num_chunks else pa.array([], type=t["links"].type)
+    flat = pc.list_flatten(lcol)
+    parent_idx = pc.list_parent_indices(lcol)
+    return pa.table(
+        {
+            "url": flat.field("url"),
+            "kind": flat.field("kind"),
+            "parent_url": pc.take(t["url"], parent_idx),
+            "parent_depth": pc.take(t["depth"], parent_idx),
+            "link_index": flat.field("idx"),
+        }
+    )
+
+
 def _links_to_frontier(t: pa.Table, policy, seed_hosts: frozenset) -> pa.Table:
     """rewrite (A11) → canonicalize (A6) → policy filter (A10/A12/A28)
-    → key (A7) → frontier-shaped rows for extracted-link batches."""
+    → key (A7) → LOCALLY-deduped frontier-shaped rows.
+
+    Per-batch canonicalization is memoized (link targets repeat a lot)
+    and the batch's rows are deduped by url_key keeping the winner by
+    (discovery_seq, parent_url, link_index) — the global winner always
+    survives a local dedup, so the tiny global groupby after the seen
+    filter sees orders of magnitude fewer rows (A25 two-level dedup)."""
     urls = t["url"].to_pylist()
     kinds = t["kind"].to_pylist()
     pdepth = t["parent_depth"].to_pylist()
     parents = t["parent_url"].to_pylist()
     lidx = t["link_index"].to_pylist()
-    rows: dict[str, list] = {k: [] for k in (
-        "url", "url_key", "host", "host_hash", "depth", "priority",
-        "discovery_seq", "parent_url", "link_index")}
     rw = policy.rewrite
+    memo: dict[str, tuple] = {}  # raw url -> (canon, key, host, host_hash)
+    winners: dict[bytes, tuple] = {}  # url_key -> (ordtup, rowtup)
     for u, kind, pd, par, li in zip(urls, kinds, pdepth, parents, lidx):
         if rw is not None:
             u = rw(u)
-        cu = canonicalize_url(u)
+        got = memo.get(u)
+        if got is None:
+            cu = canonicalize_url(u)
+            k = sha1_key(cu)
+            got = (cu, k, host_of(cu), None)
+            memo[u] = got
+        cu, k, h, _ = got
         d = pd + 1
         if not policy.link_allowed(cu, kind, d, seed_hosts):
             continue
-        k = sha1_key(cu)
-        h = host_of(cu)
+        seq = discovery_seq(d, k)
+        ordtup = (seq, par, li)
+        wk = k
+        prev = winners.get(wk)
+        if prev is None or ordtup < prev[0]:
+            winners[wk] = (ordtup, (cu, k, h, d, seq, par, li))
+    host_hash_memo: dict[str, int] = {}
+    rows: dict[str, list] = {k: [] for k in (
+        "url", "url_key", "host", "host_hash", "depth", "priority",
+        "discovery_seq", "parent_url", "link_index")}
+    for _ord, (cu, k, h, d, seq, par, li) in winners.values():
+        hh = host_hash_memo.get(h)
+        if hh is None:
+            hh = host_hash64(h)
+            host_hash_memo[h] = hh
         rows["url"].append(cu)
         rows["url_key"].append(k)
         rows["host"].append(h)
-        rows["host_hash"].append(host_hash64(h))
+        rows["host_hash"].append(hh)
         rows["depth"].append(d)
         rows["priority"].append(0)
-        rows["discovery_seq"].append(discovery_seq(d, k))
+        rows["discovery_seq"].append(seq)
         rows["parent_url"].append(par)
         rows["link_index"].append(li)
     return pa.table(
@@ -146,14 +214,70 @@ def _links_to_frontier(t: pa.Table, policy, seed_hosts: frozenset) -> pa.Table:
             "discovery_seq": pa.array(rows["discovery_seq"], pa.int64()),
             "parent_url": pa.array(rows["parent_url"], pa.string()),
             "link_index": pa.array(rows["link_index"], pa.int32()),
-            "key64": pa.array([key64(k) for k in rows["url_key"]], pa.uint64()),
+            "bucket": pa.array(
+                [key64(k) % NUM_DEDUP_BUCKETS for k in rows["url_key"]], pa.int32()
+            ),
         }
     )
 
 
+def _schedule_local(ftbl: pa.Table, robots: RobotsTable, budget: int,
+                    round_time_ms: int) -> tuple[pa.Table, pa.Table, int]:
+    """Driver-side schedule/defer split for SMALL frontiers (narrow
+    rows; e.g. 2M rows ≈ 200 MB). Semantics are IDENTICAL to the
+    distributed path (engine.frontier thresholds): per host, the Bh
+    smallest (priority, discovery_seq, url_key) rows are scheduled,
+    the rest deferred, robots-disallowed dropped. Used below a row
+    cutoff to avoid per-round Ray-job fixed costs; the distributed
+    path takes over beyond it (and is what a 10^10 frontier uses)."""
+    import pandas as pd
+
+    n0 = ftbl.num_rows
+    if robots.rules:
+        mask = robots.allowed_mask(ftbl["host"].to_pylist(), ftbl["url"].to_pylist())
+        ftbl = ftbl.filter(pa.array(mask, pa.bool_()))
+    robots_blocked = n0 - ftbl.num_rows
+    if ftbl.num_rows == 0:
+        return ftbl, ftbl, robots_blocked
+    ftbl = ftbl.combine_chunks()
+    # vectorized rank-within-host on (priority, discovery_seq, url_key):
+    # the 20-byte key is split into 3 big-endian ints so the whole
+    # total order is one numpy lexsort — no Python/object comparisons
+    mat = keys_matrix(ftbl["url_key"])
+    k0 = np.ascontiguousarray(mat[:, :8]).view(">u8").ravel()
+    k1 = np.ascontiguousarray(mat[:, 8:16]).view(">u8").ravel()
+    k2 = np.ascontiguousarray(mat[:, 16:20]).view(">u4").ravel()
+    prio = np.asarray(ftbl["priority"])
+    seq = np.asarray(ftbl["discovery_seq"])
+    order = np.lexsort((k2, k1, k0, seq, prio))
+    host_codes, hosts_uniq = pd.factorize(np.asarray(ftbl["host"]), sort=False)
+    rank = pd.Series(host_codes[order]).groupby(host_codes[order], sort=False).cumcount().to_numpy()
+    delays = {h: robots.crawl_delay_ms(h) for h in hosts_uniq if robots.crawl_delay_ms(h)}
+    if delays:
+        bh_per_host = np.array(
+            [fr.effective_budget(budget, robots.crawl_delay_ms(h), round_time_ms)
+             for h in hosts_uniq], dtype=np.int64,
+        )
+        bh = bh_per_host[host_codes[order]]
+    else:
+        bh = budget
+    sched_mask = np.zeros(ftbl.num_rows, dtype=bool)
+    sched_mask[order[rank < bh]] = True
+    arr = pa.array(sched_mask)
+    return ftbl.filter(arr), ftbl.filter(pc.invert(arr)), robots_blocked
+
+
+NUM_DEDUP_BUCKETS = 4096
+
+
 def _dedup_first(g: pa.Table) -> pa.Table:
-    """A25 intra-round dedup: within a key64 group, one row per
-    url_key — first by (discovery_seq, parent_url, link_index)."""
+    """A25 global intra-round dedup, one COARSE bucket (key64 %
+    NUM_DEDUP_BUCKETS) at a time: one row per url_key — first by
+    (discovery_seq, parent_url, link_index). Bucketing keeps the
+    shuffle but gives map_groups thousands of rows per invocation
+    instead of one tiny group per distinct key (a 125k-group
+    map_groups costs ~100× more in per-group overhead than the same
+    rows in 4k buckets)."""
     if g.num_rows <= 1:
         return g
     import pandas as pd
@@ -212,6 +336,54 @@ def _seed_frontier(crawl: CrawlConfig) -> pa.Table:
     return pa.Table.from_pydict(rows, schema=FRONTIER)
 
 
+def _seed_frontier_distributed(crawl: CrawlConfig) -> pa.Table:
+    """Large seed lists: canonicalize+key in a Ray job (the per-url
+    work — urlsplit + sha1 — is the driver's only serial cost
+    otherwise), then dedup driver-side by key."""
+    import ray
+    import ray.data as rd
+
+    raw = pa.table({"url": pa.array(list(crawl.seeds), pa.string())})
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {k: [] for k in (
+            "url", "url_key", "host", "host_hash", "depth", "priority",
+            "discovery_seq", "parent_url")}
+        hh_memo: dict[str, int] = {}
+        for s in t["url"].to_pylist():
+            cu = canonicalize_url(s)
+            k = sha1_key(cu)
+            h = host_of(cu)
+            hh = hh_memo.get(h)
+            if hh is None:
+                hh = host_hash64(h)
+                hh_memo[h] = hh
+            rows["url"].append(cu)
+            rows["url_key"].append(k)
+            rows["host"].append(h)
+            rows["host_hash"].append(hh)
+            rows["depth"].append(0)
+            rows["priority"].append(0)
+            rows["discovery_seq"].append(discovery_seq(0, k))
+            rows["parent_url"].append("")
+        return pa.Table.from_pydict(rows, schema=FRONTIER)
+
+    ds = rd.from_arrow(raw).repartition(32).map_batches(key_rows, batch_format="pyarrow")
+    parts = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(parts).combine_chunks()
+    # dedup by url_key (rows for equal urls are identical, so any
+    # winner is the same row) — exact + vectorized: numpy row-unique
+    # over the full 20-byte key matrix
+    mat = keys_matrix(tbl["url_key"])
+    k64 = key64s_of_matrix(mat)
+    if len(np.unique(k64)) == tbl.num_rows:
+        return tbl  # fast path: no 64-bit dup -> no full-key dup
+    _, first_idx = np.unique(mat, axis=0, return_index=True)
+    if len(first_idx) < tbl.num_rows:
+        return tbl.take(pa.array(np.sort(first_idx)))
+    return tbl
+
+
 def _config_hash(crawl: CrawlConfig) -> str:
     blob = json.dumps(
         {
@@ -230,7 +402,9 @@ def _config_hash(crawl: CrawlConfig) -> str:
 
 def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
               pool: SeenPool | None = None, resume: bool = False,
-              fetch_mode: str = "broadcast") -> CrawlResult:
+              fetch_mode: str = "broadcast",
+              schedule_cutoff_rows: int = 2_000_000,
+              initial_frontier: "pa.Table | None" = None) -> CrawlResult:
     """pages_ds: ray.data.Dataset of the pages table (or pa.Table).
     Returns after the frontier drains or max_rounds. The passed-in
     `pool` (or a fresh one) holds the final seen set."""
@@ -270,8 +444,17 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
         res.total_errors = man.get("total_errors", 0)
     else:
         start_round = 0
-        seed_tbl = _seed_frontier(crawl)
-        pool.check_and_add(seed_tbl["url_key"].to_pylist(), -1)
+        if initial_frontier is not None:
+            # caller prepared the frontier (e.g. bench: seed ingestion
+            # is one-time setup, not round throughput) — caller must
+            # also have registered the keys in `pool`
+            seed_tbl = initial_frontier
+        elif len(crawl.seeds) > 20_000:
+            seed_tbl = _seed_frontier_distributed(crawl)
+            pool.check_and_add(seed_tbl["url_key"].to_pylist(), -1)
+        else:
+            seed_tbl = _seed_frontier(crawl)
+            pool.check_and_add(seed_tbl["url_key"].to_pylist(), -1)
         fdir = out / "frontier" / "round=0"
         fdir.mkdir(parents=True, exist_ok=True)
         pq.write_table(seed_tbl, fdir / "part-0.parquet")
@@ -279,85 +462,181 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
 
     for rnd in range(start_round, crawl.max_rounds):
         t0 = time.monotonic()
+        prof = _Prof(rnd)
         fdir = out / "frontier" / f"round={rnd}"
         urls_in = parquet_num_rows(fdir)
         if urls_in == 0:
             break
-        frontier_ds = rd.read_parquet(str(fdir))
         res.rounds = rnd + 1
 
-        # 1. robots gate (A14) — narrow rows, materialize is bounded;
-        #    skipped entirely when there are no robots rules at all
-        if robots.rules:
-            gated = frontier_ds.map_batches(
-                robots_gate_fn(robots_ref), batch_format="pyarrow"
-            ).materialize()
-            gated_count = gated.count()  # metadata-cheap on materialized
-        else:
-            gated = frontier_ds
-            gated_count = urls_in
-        robots_blocked = urls_in - gated_count
-
-        # 2. per-host thresholds (A26) + schedule/defer split
+        # 1+2. robots gate (A14) + per-host schedule/defer split (A26).
+        # Hybrid: small frontiers are scheduled driver-side with the
+        # SAME semantics (cuts 2 Ray jobs + 2 materializations of
+        # fixed cost per round); big frontiers use the distributed
+        # threshold path (engine.frontier).
         empty_frontier = _seed_frontier(CrawlConfig(seeds=()))
-        if gated_count > 0:
-            thresholds = fr.compute_thresholds(
-                gated, crawl.budget_per_host, delays, crawl.round_time_budget_ms
+        if urls_in <= schedule_cutoff_rows:
+            ftbl = pa.concat_tables(
+                [pq.read_table(p) for p in sorted(fdir.glob("*.parquet"))]
             )
-            thr_ref = ray.put(thresholds)
-
-            def _mark(t: pa.Table) -> pa.Table:
-                return fr.mark_scheduled(t, cached_get(thr_ref))
-
-            marked = gated.map_batches(_mark, batch_format="pyarrow").materialize()
-            sched_parts = [
-                t.filter(t["scheduled"]).drop_columns(["scheduled"])
-                for t in ray.get(marked.to_arrow_refs())
-                if t.num_rows
-            ]
-            sched_parts = [t for t in sched_parts if t.num_rows]
-            sched_tbl = (
-                pa.concat_tables(sched_parts) if sched_parts else empty_frontier
+            sched_tbl, deferred_tbl, robots_blocked = _schedule_local(
+                ftbl, robots, crawl.budget_per_host, crawl.round_time_budget_ms
             )
-            deferred = marked.map_batches(
-                lambda t: t.filter(pc.invert(t["scheduled"])).drop_columns(["scheduled"]),
-                batch_format="pyarrow",
-            )
+            gated_count = urls_in - robots_blocked
+            deferred = rd.from_arrow(deferred_tbl)
+            prof.mark("schedule_local")
         else:
-            sched_tbl = empty_frontier
-            deferred = rd.from_arrow(empty_frontier)
-
-        # 3. hermetic fetch (A13/A23)
-        fetched_dir = out / "fetched" / f"round={rnd}"
-        n_sched = sched_tbl.num_rows
-        if n_sched > 0:
-            sched_meta = {
-                u: (d, s)
-                for u, d, s in zip(
-                    sched_tbl["url"].to_pylist(),
-                    sched_tbl["depth"].to_pylist(),
-                    sched_tbl["discovery_seq"].to_pylist(),
+            deferred_tbl = None
+            frontier_ds = rd.read_parquet(str(fdir))
+            if robots.rules:
+                gated = frontier_ds.map_batches(
+                    robots_gate_fn(robots_ref), batch_format="pyarrow"
+                ).materialize()
+                gated_count = gated.count()  # metadata-cheap on materialized
+            else:
+                gated = frontier_ds
+                gated_count = urls_in
+            robots_blocked = urls_in - gated_count
+            if gated_count > 0:
+                thresholds = fr.compute_thresholds(
+                    gated, crawl.budget_per_host, delays, crawl.round_time_budget_ms
                 )
-            }
+                thr_ref = ray.put(thresholds)
+
+                def _mark(t: pa.Table) -> pa.Table:
+                    return fr.mark_scheduled(t, cached_get(thr_ref))
+
+                marked = gated.map_batches(_mark, batch_format="pyarrow").materialize()
+                sched_parts = [
+                    t.filter(t["scheduled"]).drop_columns(["scheduled"])
+                    for t in ray.get(marked.to_arrow_refs())
+                    if t.num_rows
+                ]
+                sched_parts = [t for t in sched_parts if t.num_rows]
+                sched_tbl = (
+                    pa.concat_tables(sched_parts) if sched_parts else empty_frontier
+                )
+                deferred = marked.map_batches(
+                    lambda t: t.filter(pc.invert(t["scheduled"])).drop_columns(["scheduled"]),
+                    batch_format="pyarrow",
+                )
+            else:
+                sched_tbl = empty_frontier
+                deferred = rd.from_arrow(empty_frontier)
+
+        # 3. hermetic fetch (A13/A23). Round-owned output dirs are
+        # cleared first: a crash mid-round leaves partial task-written
+        # part files whose names a rerun (possibly at different block
+        # boundaries) would not overwrite — the MANIFEST commit point
+        # only advances after the whole round is on disk, so clearing
+        # is always safe.
+        import shutil
+
+        fetched_dir = out / "fetched" / f"round={rnd}"
+        for stale in (fetched_dir, out / "frontier" / f"round={rnd + 1}",
+                      out / "trace" / f"round={rnd}"):
+            if stale.exists():
+                shutil.rmtree(stale)
+        n_sched = sched_tbl.num_rows
+        survivors = None  # set by the single-pass broadcast pipeline
+        if n_sched > 0:
             if fetch_mode == "broadcast":
-                meta_ref = ray.put(sched_meta)
+                # broadcast the scheduled (k64, url, depth, seq) table
+                # as Arrow (fast IPC serialization). The per-batch
+                # lookup is a FLIPPED Acero join on an INT64 key:
+                # scheduled table on the probe side, the page batch
+                # (one whole block, batch_size=None) on the hash-build
+                # side. Joining on the sha1-derived int64 instead of
+                # the url string cuts the per-task scan of the big
+                # side ~5× (string hashing dominated); url equality is
+                # re-verified after the join so a 64-bit collision can
+                # only drop a row pair, never mis-fetch.
+                sk64 = key64s_of_matrix(keys_matrix(sched_tbl["url_key"])).astype(np.int64)
+                sched_small = pa.table(
+                    {
+                        "k64": pa.array(sk64),
+                        "url": sched_tbl["url"],
+                        "depth": sched_tbl["depth"],
+                        "discovery_seq": sched_tbl["discovery_seq"],
+                    }
+                ).combine_chunks()
+                meta_ref = ray.put(sched_small)
 
                 def _fetch(t: pa.Table, _rnd=rnd) -> pa.Table:
-                    meta = cached_get(meta_ref)
-                    urls = t["url"].to_pylist()
-                    mask = [u in meta for u in urls]
-                    t = t.filter(pa.array(mask, pa.bool_()))
-                    urls = t["url"].to_pylist()
-                    n = len(urls)
-                    t = t.append_column("status", pa.array([200] * n, pa.int32()))
-                    t = t.append_column("fetch_round", pa.array([_rnd] * n, pa.int32()))
-                    t = t.append_column("depth", pa.array([meta[u][0] for u in urls], pa.int32()))
-                    t = t.append_column(
-                        "discovery_seq", pa.array([meta[u][1] for u in urls], pa.int64())
+                    sched = cached_get(meta_ref)
+                    k64b = np.array(
+                        [int.from_bytes(
+                            hashlib.sha1(u.encode("utf-8", "surrogatepass")).digest()[:8],
+                            "big") for u in t["url"].to_pylist()],
+                        dtype=np.uint64,
+                    ).astype(np.int64)
+                    t = t.append_column("k64", pa.array(k64b))
+                    j = sched.join(t, keys="k64", join_type="inner",
+                                   left_suffix="_s", right_suffix="_p")
+                    # url columns: sched's stays "url_s"/"url" per suffix rules
+                    cols = j.column_names
+                    lu = "url_s" if "url_s" in cols else "url"
+                    ru = "url_p" if "url_p" in cols else "url"
+                    if lu == ru:  # no collision in names (shouldn't happen)
+                        eq = None
+                    else:
+                        eq = pc.equal(j[lu], j[ru])
+                        j = j.filter(eq).drop_columns([lu])
+                        j = j.rename_columns(
+                            [c if c != ru else "url" for c in j.column_names]
+                        )
+                    j = j.drop_columns(["k64"])
+                    n = j.num_rows
+                    j = j.append_column("status", pa.array(np.full(n, 200, np.int32)))
+                    j = j.append_column(
+                        "fetch_round", pa.array(np.full(n, _rnd, np.int32))
                     )
-                    return t
+                    return j
 
-                hits = pages_ds.map_batches(_fetch, batch_format="pyarrow")
+                # SINGLE-PASS round pipeline: the fetch task writes its
+                # own fetched part file (atomic rename, deterministic
+                # name -> idempotent under task retry) and RETURNS only
+                # the narrow link-candidate rows, which stream straight
+                # into the seen filter — no second job re-reading the
+                # html/links from parquet.
+                _policy, _sh = policy, seed_hosts
+                _fdir = str(fetched_dir)
+
+                def _fetch_parse_emit(t: pa.Table, _rnd=rnd) -> pa.Table:
+                    import os as _os
+
+                    t = _fetch(t)
+                    t = extract_page_batch(t)
+                    full = t.select(
+                        ["url", "warc_ts", "html", "text", "lang",
+                         "status", "fetch_round", "depth", "discovery_seq", "links"]
+                    )
+                    if full.num_rows:
+                        tag = hashlib.sha1(
+                            full["url"][0].as_py().encode()
+                        ).hexdigest()[:16]
+                        fname = f"part-{tag}-{full.num_rows}.parquet"
+                        tmp = pathlib.Path(_fdir) / (fname + ".tmp")
+                        pq.write_table(full, tmp, compression="zstd")
+                        _os.replace(tmp, pathlib.Path(_fdir) / fname)
+                    links_t = _explode_links(
+                        full.select(["url", "links", "depth"])
+                    )
+                    return _links_to_frontier(links_t, _policy, _sh)
+
+                fetched_dir.mkdir(parents=True, exist_ok=True)
+                prof.mark("fetch_prep")
+                survivors = (
+                    pages_ds.map_batches(
+                        _fetch_parse_emit, batch_format="pyarrow", batch_size=None
+                    )
+                    .map_batches(
+                        seen_filter_fn(pool.actors, pool.num_shards, rnd),
+                        batch_format="pyarrow",
+                    )
+                    .materialize()  # narrow rows only
+                )
+                hits = None
             else:  # join mode: all-to-all on url (scale path)
                 sched_ds = rd.from_arrow(
                     sched_tbl.select(["url", "depth", "discovery_seq"])
@@ -373,42 +652,55 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                     ),
                     batch_format="pyarrow",
                 )
-            # recompute text from html — A9, the byte-identity surface
-            hits = hits.map_batches(extract_text_batch, batch_format="pyarrow")
-            hits = hits.select_columns(
-                ["url", "warc_ts", "html", "text", "lang",
-                 "status", "fetch_round", "depth", "discovery_seq"]
+            if hits is not None:
+                # join path: recompute text (A9, the byte-identity
+                # surface) AND extract links in ONE html parse; links
+                # persist as a list<struct> column for the read-back
+                # link stage
+                hits = hits.map_batches(extract_page_batch, batch_format="pyarrow")
+                hits = hits.select_columns(
+                    ["url", "warc_ts", "html", "text", "lang",
+                     "status", "fetch_round", "depth", "discovery_seq", "links"]
+                )
+                fetched_dir.mkdir(parents=True, exist_ok=True)
+                prof.mark("fetch_prep")
+                hits.write_parquet(str(fetched_dir))
+            prof.mark("fetch_parse_write")
+            hit_parts = [
+                pq.read_table(p, columns=["url"])["url"]
+                for p in fetched_dir.glob("*.parquet")
+            ]
+            hit_arr = (
+                pa.concat_arrays([c for part in hit_parts for c in part.chunks])
+                if hit_parts else pa.array([], pa.string())
             )
-            fetched_dir.mkdir(parents=True, exist_ok=True)
-            hits.write_parquet(str(fetched_dir))
-            hit_urls = set()
-            for p in fetched_dir.glob("*.parquet"):
-                hit_urls.update(pq.read_table(p, columns=["url"])["url"].to_pylist())
-            n_fetched = len(hit_urls)
-            # 404s: scheduled urls with no page
-            miss_urls = [u for u in sched_meta if u not in hit_urls]
-            if miss_urls:
+            n_fetched = len(hit_arr)
+            # 404s: scheduled urls with no page (vectorized anti via is_in)
+            hit_mask = pc.is_in(sched_tbl["url"], value_set=hit_arr)
+            miss_tbl_src = sched_tbl.filter(pc.invert(hit_mask))
+            n_errors = miss_tbl_src.num_rows
+            if n_errors:
+                nulls = pa.nulls(n_errors)
                 miss_tbl = pa.table(
                     {
-                        "url": pa.array(miss_urls, pa.string()),
-                        "warc_ts": pa.array([None] * len(miss_urls), pa.timestamp("us")),
-                        "html": pa.array([None] * len(miss_urls), pa.binary()),
-                        "text": pa.array([""] * len(miss_urls), pa.string()),
-                        "lang": pa.array([None] * len(miss_urls), pa.string()),
-                        "status": pa.array([404] * len(miss_urls), pa.int32()),
-                        "fetch_round": pa.array([rnd] * len(miss_urls), pa.int32()),
-                        "depth": pa.array([sched_meta[u][0] for u in miss_urls], pa.int32()),
-                        "discovery_seq": pa.array(
-                            [sched_meta[u][1] for u in miss_urls], pa.int64()
-                        ),
+                        "url": miss_tbl_src["url"],
+                        "warc_ts": nulls.cast(pa.timestamp("us")),
+                        "html": nulls.cast(pa.binary()),
+                        "text": pa.array([""] * n_errors, pa.string()),
+                        "lang": nulls.cast(pa.string()),
+                        "status": pa.array(np.full(n_errors, 404, np.int32)),
+                        "fetch_round": pa.array(np.full(n_errors, rnd, np.int32)),
+                        "depth": miss_tbl_src["depth"],
+                        "discovery_seq": miss_tbl_src["discovery_seq"],
+                        "links": pa.array([[] for _ in range(n_errors)], LINKS_TYPE),
                     }
                 )
                 pq.write_table(miss_tbl, fetched_dir / "misses.parquet")
-            n_errors = len(miss_urls)
+            prof.mark("misses")
         else:
             fetched_dir.mkdir(parents=True, exist_ok=True)
             n_fetched = n_errors = 0
-            hit_urls = set()
+            hit_arr = pa.array([], pa.string())
 
         # trace (FIXTURES.md §4): scheduled rows, (seq, url) order
         tdir = out / "trace" / f"round={rnd}"
@@ -418,15 +710,15 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                 sched_tbl, sort_keys=[("discovery_seq", "ascending"), ("url", "ascending")]
             )
             st = sched_tbl.take(order)
+            st_hit = pc.is_in(st["url"], value_set=hit_arr)
             trace_tbl = pa.table(
                 {
-                    "round": pa.array([rnd] * n_sched, pa.int32()),
+                    "round": pa.array(np.full(n_sched, rnd, np.int32)),
                     "host": st["host"],
                     "url": st["url"],
                     "discovery_seq": st["discovery_seq"],
-                    "status": pa.array(
-                        [200 if u in hit_urls else 404 for u in st["url"].to_pylist()],
-                        pa.int32(),
+                    "status": pc.if_else(
+                        st_hit, pa.scalar(200, pa.int32()), pa.scalar(404, pa.int32())
                     ),
                 }
             )
@@ -441,33 +733,91 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                 }
             )
         pq.write_table(trace_tbl, tdir / "trace.parquet")
+        prof.mark("trace")
 
-        # 4. link discovery → fresh frontier (A8,A11,A6,A10,A25,A21)
-        if n_fetched > 0:
-            parsed = rd.read_parquet(str(fetched_dir), columns=["url", "html", "depth", "status"])
+        # 4. link discovery → fresh frontier (A8,A11,A6,A10,A25,A21).
+        # Order: local dedup (inside _links_to_frontier) → seen filter
+        # (drops everything discovered in prior rounds) → global dedup
+        # over the small survivor set. The seen filter is idempotent
+        # per round, so all within-round copies of a NEW key survive
+        # to the global dedup, which picks the deterministic winner.
+        # In the single-pass broadcast path `survivors` is already
+        # materialized by the fetch pipeline; the join path reads the
+        # persisted links column back (column-pruned, html untouched).
+        if n_fetched > 0 and survivors is None:
+            parsed = rd.read_parquet(
+                str(fetched_dir), columns=["url", "links", "depth", "status"]
+            )
             links = (
                 parsed.map_batches(
-                    lambda t: t.filter(pc.equal(t["status"], 200)),
+                    lambda t: _explode_links(t.filter(pc.equal(t["status"], 200))),
                     batch_format="pyarrow",
                 )
-                .map_batches(extract_links_batch, batch_format="pyarrow")
                 .map_batches(
                     lambda t, _p=policy, _sh=seed_hosts: _links_to_frontier(t, _p, _sh),
                     batch_format="pyarrow",
                 )
             )
-            deduped = links.groupby("key64").map_groups(_dedup_first, batch_format="pyarrow")
-            fresh = deduped.map_batches(
+            survivors = links.map_batches(
                 seen_filter_fn(pool.actors, pool.num_shards, rnd),
                 batch_format="pyarrow",
-            ).drop_columns(["link_index", "key64"])
+            ).materialize()
+
+        fresh_tbl = None
+        if survivors is not None:
+            n_surv = survivors.count()
+            if n_surv == 0:
+                fresh_tbl = empty_frontier
+            elif n_surv <= schedule_cutoff_rows:
+                # driver-side vectorized global dedup (narrow rows)
+                import pandas as pd
+
+                parts = [t for t in ray.get(survivors.to_arrow_refs()) if t.num_rows]
+                stbl = pa.concat_tables(parts)
+                df = stbl.to_pandas()
+                df = df.sort_values(
+                    ["discovery_seq", "parent_url", "link_index"], kind="mergesort"
+                ).drop_duplicates(subset=["url_key"], keep="first")
+                fresh_tbl = (
+                    pa.Table.from_pandas(df, preserve_index=False)
+                    .cast(stbl.schema)
+                    .drop_columns(["link_index", "bucket"])
+                )
+            else:
+                deduped = survivors.groupby("bucket").map_groups(
+                    _dedup_first, batch_format="pyarrow"
+                )
+                fresh = deduped.drop_columns(["link_index", "bucket"])
+
+        # next frontier = deferred ∪ fresh
+        if fresh_tbl is not None and deferred_tbl is not None:
+            nxt_tbl = pa.concat_tables(
+                [deferred_tbl,
+                 fresh_tbl.select(deferred_tbl.column_names).cast(deferred_tbl.schema)]
+            )
+            nxt = None
+        elif fresh_tbl is not None:
+            nxt = deferred.union(rd.from_arrow(fresh_tbl))
+            nxt_tbl = None
+        elif survivors is not None:
             nxt = deferred.union(fresh)
+            nxt_tbl = None
         else:
             nxt = deferred
+            nxt_tbl = None
+        if nxt_tbl is None and deferred_tbl is not None and survivors is None:
+            # no links at all, driver-scheduled round
+            nxt_tbl = deferred_tbl
+            nxt = None
 
         nfdir = out / "frontier" / f"round={rnd + 1}"
         nfdir.mkdir(parents=True, exist_ok=True)
-        nxt.write_parquet(str(nfdir))
+        if nxt_tbl is not None:
+            if nxt_tbl.num_rows:
+                pq.write_table(nxt_tbl, nfdir / "part-0.parquet", compression="zstd")
+        else:
+            nxt.write_parquet(str(nfdir))
+        prof.mark("links_and_frontier_write")
         n_next = parquet_num_rows(nfdir)
         n_deferred = gated_count - n_sched
         new_links = n_next - n_deferred
@@ -477,6 +827,7 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
         sdir.mkdir(parents=True, exist_ok=True)
         for s, blob in enumerate(pool.serialize_all()):
             (sdir / f"shard={s}.bin").write_bytes(blob)
+        prof.mark("seen_ckpt")
         res.total_scheduled += n_sched
         res.total_fetched += n_fetched
         res.total_errors += n_errors

@@ -28,6 +28,9 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from engine.util import cached_get
+from engine.kernels import canonicalize_url, sha1_key
+
 
 def _t(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
@@ -179,8 +182,6 @@ def join_broadcast(sf_dir: str):
     map_batches — no shuffle."""
     import ray
 
-    from engine.util import cached_get
-
     region = _t(sf_dir, "region").to_pandas()
     ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
 
@@ -206,8 +207,6 @@ def join_anti(sf_dir: str):
 
 def _semi_anti(sf_dir: str, keep_present: bool):
     import ray
-
-    from engine.util import cached_get
 
     big = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         lambda t: t.filter(pc.greater(t["o_totalprice"], 350000.0)),
@@ -381,8 +380,6 @@ def string_fns(sf_dir: str):
 def url_canonicalize(sf_dir: str):
     """A6 exposed generically: canonicalize urls minted from documents
     (rows-only check — not SQL-expressible)."""
-    from engine.kernels import canonicalize_url, sha1_key
-
     ds = _t(sf_dir, "documents", ["doc_id"])
 
     def f(t: pa.Table) -> pa.Table:

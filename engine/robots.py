@@ -122,7 +122,7 @@ class RobotsTable:
     def to_arrow(self):
         import pyarrow as pa
 
-        from engine.schemas import ROBOTS
+        from engine.schemas import ROBOTS  # lazy: avoids import cycle at module load
         from datetime import datetime
 
         hosts = sorted(self.raw)

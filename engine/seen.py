@@ -30,6 +30,8 @@ import pickle
 
 import numpy as np
 
+from engine.kernels import key64s_of_matrix
+
 _EMPTY = np.uint16(0)
 
 
@@ -106,33 +108,39 @@ class SeenShard:
         else:
             raise ValueError(f"unknown seen mode {mode!r}")
 
-    def check_and_add(self, keys: list[bytes], round_no: int) -> list[bool]:
+    def check_and_add(self, keys, round_no: int) -> list[bool]:
         """For each key: True iff this key is NEW (first ever seen OR
-        first seen in this same round — idempotent under task retry)."""
-        out: list[bool] = []
+        first seen in this same round — idempotent under task retry).
+        `keys` is a list[bytes] or a packed bytes blob (n×20, the
+        cheap-to-pickle RPC form used by the crawl's seen filter)."""
+        if isinstance(keys, (bytes, bytearray, memoryview)):
+            b = bytes(keys)
+            keys = [b[i : i + 20] for i in range(0, len(b), 20)]
+        n = len(keys)
+        out = np.empty(n, dtype=bool)
         if self.mode == "exact":
             d = self._d
-            for k in keys:
+            for i, k in enumerate(keys):
                 r = d.get(k)
                 if r is None:
                     d[k] = round_no
-                    out.append(True)
+                    out[i] = True
                 else:
-                    out.append(r == round_no)
+                    out[i] = r == round_no
         else:
             if round_no != self._round_no:
                 self._round_no = round_no
                 self._round_added = set()
             cf, added = self._cf, self._round_added
-            for k in keys:
+            for i, k in enumerate(keys):
                 if k in added:
-                    out.append(True)
+                    out[i] = True
                 elif cf.contains(k):
-                    out.append(False)
+                    out[i] = False
                 else:
                     cf.insert(k)
                     added.add(k)
-                    out.append(True)
+                    out[i] = True
         return out
 
     def size(self) -> int:
@@ -187,21 +195,21 @@ class SeenPool:
 
     def check_and_add(self, keys: list[bytes], round_no: int) -> np.ndarray:
         """Batched routed RPC from the driver (used for seeds; the
-        in-pipeline path is engine.crawl.SeenFilter)."""
+        in-pipeline path is engine.crawl.seen_filter_fn). Keys ship as
+        packed per-shard blobs (cheap pickling even for 10^6 seeds)."""
         import ray
-
-        from engine.kernels import shard_of_keys
 
         if not keys:
             return np.zeros(0, dtype=bool)
-        shards = shard_of_keys(keys, self.num_shards)
+        mat = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, 20)
+        shards = key64s_of_matrix(mat) % np.uint64(self.num_shards)
         mask = np.zeros(len(keys), dtype=bool)
         futs = {}
         for s in range(self.num_shards):
             idx = np.flatnonzero(shards == s)
             if len(idx):
                 futs[s] = (idx, self.actors[s].check_and_add.remote(
-                    [keys[i] for i in idx], round_no))
+                    mat[idx].tobytes(), round_no))
         for s, (idx, f) in futs.items():
             mask[idx] = ray.get(f)
         return mask

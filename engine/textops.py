@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
+from engine.util import cached_get
+
 
 def _docs(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
@@ -264,8 +266,6 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7):
     sf) — the 10^10 path co-partitions pairs with a bucketed join."""
     import ray
 
-    from engine.util import cached_get
-
     docs = _docs(sf_dir, ["doc_id", "text"])
     tbl = pa.concat_tables(ray.get(docs.to_arrow_refs()))
     text_ref = ray.put(dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())))
@@ -364,8 +364,6 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5):
     """Character-5-gram Jaccard near-dup using the same LSH blocking as
     dedup_minhash but verifying with char n-grams. Rows-only."""
     import ray
-
-    from engine.util import cached_get
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     tbl = pa.concat_tables(ray.get(docs.to_arrow_refs()))
@@ -471,8 +469,6 @@ class IVFScorer:
     scored exactly. Brute-force baseline is ops.vector_topk."""
 
     def __init__(self, centroids_ref, probe_centroids: np.ndarray):
-        from engine.util import cached_get
-
         self.centroids = cached_get(centroids_ref)  # (C, d) unit rows
         self.probes = probe_centroids  # centroid indices to search
 

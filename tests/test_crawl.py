@@ -78,12 +78,15 @@ def test_crawl_matches_oracle_with_robots_and_budget(ray_session, pages_tbl, tmp
 
 
 def test_crawl_deterministic_across_partitioning(ray_session, pages_tbl, tmp_path):
-    """§5.4: different seen-shard counts + partition counts -> same trace."""
+    """§5.4: different seen-shard counts, partition counts AND
+    scheduler paths (driver-side vs distributed thresholds) -> same
+    trace."""
     base = CrawlConfig(seeds=SEEDS, budget_per_host=3, max_rounds=40, num_shards=1)
     alt = CrawlConfig(seeds=SEEDS, budget_per_host=3, max_rounds=40,
                       num_shards=7, num_partitions=3)
     r1, _ = _run(tmp_path / "a", pages_tbl, base)
-    r2, _ = _run(tmp_path / "b", pages_tbl, alt)
+    # schedule_cutoff_rows=0 forces the distributed threshold scheduler
+    r2, _ = _run(tmp_path / "b", pages_tbl, alt, schedule_cutoff_rows=0)
     assert _trace_key(r1.trace()) == _trace_key(r2.trace())
 
 

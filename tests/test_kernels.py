@@ -135,3 +135,22 @@ def test_batch_wrappers_roundtrip():
     links = extract_links_batch(pages)
     assert links["url"].to_pylist() == ["https://h.example/p/1"]
     assert links["parent_depth"].to_pylist() == [0]
+
+
+def test_combined_page_extractor_equals_separate():
+    """extract_page (single-pass perf path) must match extract_text +
+    extract_links exactly — locked over all golden fixtures and the
+    synthetic generator's html."""
+    from engine.kernels import extract_page
+    from engine.synth import SynthConfig, build_pages_table
+
+    for h in sorted(FIX.glob("*.html")):
+        b = h.read_bytes()
+        t, l = extract_page(b, "https://x.example/p")
+        assert t == extract_text(b)
+        assert l == extract_links(b, "https://x.example/p")
+    tbl = build_pages_table(SynthConfig(n_hosts=3, n_pages=30))
+    for u, html in zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()):
+        t, l = extract_page(html, u)
+        assert t == extract_text(html)
+        assert l == extract_links(html, u)

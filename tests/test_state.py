@@ -23,11 +23,11 @@ def _keys(n, seed=0):
 def test_seen_exact_basic_and_idempotent():
     s = SeenShard("exact")
     ks = _keys(100)
-    assert s.check_and_add(ks, 0) == [True] * 100
+    assert list(s.check_and_add(ks, 0)) == [True] * 100
     # retry same round: still True (idempotent under task retry)
-    assert s.check_and_add(ks, 0) == [True] * 100
+    assert list(s.check_and_add(ks, 0)) == [True] * 100
     # later round: already seen
-    assert s.check_and_add(ks, 1) == [False] * 100
+    assert list(s.check_and_add(ks, 1)) == [False] * 100
     assert s.size() == 100
 
 
@@ -38,7 +38,7 @@ def test_seen_exact_serialize_roundtrip():
     blob = s.serialize()
     s2 = SeenShard("exact")
     s2.load(blob)
-    assert s2.check_and_add(ks, 5) == [False] * 50
+    assert list(s2.check_and_add(ks, 5)) == [False] * 50
     assert set(s2.keys_snapshot()) == set(ks)
 
 
@@ -46,9 +46,9 @@ def test_seen_cuckoo_matches_exact_semantics():
     c = SeenShard("cuckoo", capacity=4096)
     e = SeenShard("exact")
     ks = _keys(2000, 2)
-    assert c.check_and_add(ks, 0) == e.check_and_add(ks, 0)
-    assert c.check_and_add(ks, 0) == [True] * 2000  # same-round retry
-    assert c.check_and_add(ks, 1) == [False] * 2000
+    assert list(c.check_and_add(ks, 0)) == list(e.check_and_add(ks, 0))
+    assert list(c.check_and_add(ks, 0)) == [True] * 2000  # same-round retry
+    assert list(c.check_and_add(ks, 1)) == [False] * 2000
     fresh = _keys(500, 3)
     got = c.check_and_add(fresh, 1)
     # cuckoo may false-positive (claim seen) but NEVER false-negative
@@ -63,7 +63,7 @@ def test_seen_cuckoo_serialize_roundtrip():
     c2 = SeenShard("exact")
     c2.load(c.serialize())
     assert c2.mode == "cuckoo"
-    assert c2.check_and_add(ks, 3) == [False] * 400
+    assert list(c2.check_and_add(ks, 3)) == [False] * 400
 
 
 def test_cuckoo_filter_load():
