@@ -47,7 +47,7 @@ def _bench_once(num_cpus: int, sf_dir: str, crawl_only: bool) -> dict:
     from engine.oracle import CrawlConfig
     from engine.synth import SynthConfig, page_url, pages_dataset
 
-    n_pages = int(os.environ.get("BENCH_PAGES", "800000"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "1600000"))
     n_hosts = max(8, n_pages // 1200)
     cfg = SynthConfig(n_hosts=n_hosts, n_pages=n_pages, links_per_page=8)
     # generate + pin the synthetic web once (setup, untimed)
@@ -68,7 +68,7 @@ def _bench_once(num_cpus: int, sf_dir: str, crawl_only: bool) -> dict:
         seeds=seeds,
         budget_per_host=int(os.environ.get("BENCH_BUDGET", str(default_budget))),
         max_rounds=int(os.environ.get("BENCH_ROUNDS", "1")),
-        num_shards=8,  # FIXED across parallelism levels (fair scaling A/B)
+        num_shards=max(2, num_cpus // 4),  # state pools scale with the cluster (north_star)
         num_partitions=num_cpus,
     )
     # seed ingestion is one-time setup (in production the frontier IS
@@ -115,30 +115,38 @@ def _bench_once(num_cpus: int, sf_dir: str, crawl_only: bool) -> dict:
 
 
 def _scaling(sf_dir: str) -> None:
-    rates = {}
-    times = {}
-    for ncpu in (8, 32):
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            BENCH_CRAWL_ONLY="1",
-        )
-        out = subprocess.run(
-            [sys.executable, "bench.py"], env=env, capture_output=True,
-            text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        j = json.loads(out.strip().splitlines()[-1])
-        rates[ncpu] = j["urls_per_sec"]
-        times[ncpu] = j["value"]
-    eff = (rates[32] / rates[8]) / 4.0
+    """BASELINE.md protocol: 3 repeats per level in FRESH processes,
+    alternating order (32,8,32,8,32,8) to balance page-cache state;
+    median rate per level; efficiency = (rate32/rate8)/4."""
+    import statistics
+
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    rates: dict[int, list] = {8: [], 32: []}
+    times: dict[int, list] = {8: [], 32: []}
+    for _ in range(repeats):
+        for ncpu in (32, 8):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1")
+            out = subprocess.run(
+                [sys.executable, "bench.py"], env=env, capture_output=True,
+                text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            j = json.loads(out.strip().splitlines()[-1])
+            rates[ncpu].append(j["urls_per_sec"])
+            times[ncpu].append(j["value"])
+    r8, r32 = statistics.median(rates[8]), statistics.median(rates[32])
+    eff = (r32 / r8) / 4.0
     print(
         json.dumps(
             {
-                "sec_8": times[8],
-                "sec_32": times[32],
-                "urls_per_sec_8": rates[8],
-                "urls_per_sec_32": rates[32],
+                "sec_8": statistics.median(times[8]),
+                "sec_32": statistics.median(times[32]),
+                "urls_per_sec_8": r8,
+                "urls_per_sec_32": r32,
+                "all_rates_8": rates[8],
+                "all_rates_32": rates[32],
                 "scaling_efficiency": round(eff, 3),
+                "repeats": repeats,
             }
         )
     )

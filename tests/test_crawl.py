@@ -134,3 +134,20 @@ def test_crawl_policy_hooks(ray_session, pages_tbl, tmp_path):
     assert not any("host-5" in u for u in sim.seen_urls if u not in
                    {canonicalize_url(s) for s in SEEDS})
     assert pool.all_keys() == {sha1_key(u) for u in sim.seen_urls}
+
+
+def test_trace_matches_golden_fixture(ray_session, pages_tbl, tmp_path):
+    """FIXTURES.md §4: the frozen trace fixture is the compat contract
+    — simulator AND engine must reproduce it byte-for-byte (fixture
+    config == the robots+budget scenario)."""
+    import json
+    import pathlib
+
+    fix = pathlib.Path(__file__).parent / "fixtures" / "trace_sf0001.jsonl"
+    golden = [json.loads(line) for line in fix.read_text().splitlines()]
+    crawl = CrawlConfig(seeds=SEEDS, budget_per_host=2, max_rounds=60,
+                        robots_raw=ROBOTS, round_time_budget_ms=6000)
+    sim = simulate(_pages_dict(SYNTH), crawl)
+    assert _trace_key(sim.trace) == _trace_key(golden)
+    res, _ = _run(tmp_path, pages_tbl, crawl)
+    assert _trace_key(res.trace()) == _trace_key(golden)
