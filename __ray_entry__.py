@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_semi": ops.join_semi,
         "join_anti": ops.join_anti,
         "topk": ops.topk,
+        "topk_groups": ops.topk_groups,
         "sort": ops.sort_orders,
         "distinct": ops.distinct,
         "dedup_exact": ops.dedup_exact,
@@ -149,6 +150,10 @@ def oracle_sql() -> dict[str, str]:
         "topk": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "topk_groups": (
+            "SELECT source, COUNT(*) AS n FROM documents "
+            "GROUP BY source ORDER BY n DESC, source LIMIT 5"
         ),
         "sort": (
             "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders "

@@ -450,3 +450,16 @@ def vector_topk(sf_dir: str, k: int = 10):
         .sort(["cosine", "vec_id"], descending=[True, False])
         .limit(k)
     )
+
+
+# --------------------------------------------------------------- A27
+def topk_groups(sf_dir: str, k: int = 5):
+    """Top-k groups by count (the crawl's biggest-hosts / skew-stats
+    shape, SURVEY.md A27) over documents.source."""
+    return (
+        _t(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .sort(["n", "source"], descending=[True, False])
+        .limit(k)
+    )

@@ -1,0 +1,79 @@
+"""FetcherActor plumbing tests (SURVEY.md A13/A19) with an injected
+transport — the socket layer itself is stubbed in this sandbox."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyarrow as pa
+import pytest
+
+from engine.fetcher import CookieJar, FetcherActor, RetryPolicy, _default_transport
+from engine.registry import BATCH_KERNELS, get_batch_kernel, get_scalar, register_batch_kernel
+
+
+def _batch(urls):
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "host": pa.array([u.split("/")[2] for u in urls], pa.string())})
+
+
+def test_transport_stub_raises():
+    with pytest.raises(NotImplementedError):
+        _default_transport("http://x/", {})
+
+
+def test_fetcher_with_fake_transport_and_cookies():
+    calls = []
+
+    def transport(url, headers):
+        calls.append((url, dict(headers)))
+        if url.endswith("/login"):
+            return 200, {"Set-Cookie": "sid=abc123; Path=/"}, b"<p>ok</p>"
+        if url.endswith("/404"):
+            return 404, {}, b""
+        return 200, {}, b"<p>page</p>"
+
+    f = FetcherActor(transport=transport, fetch_round=2,
+                     clock=lambda: datetime(2024, 1, 1))
+    out = f(_batch(["https://a.example/login", "https://a.example/next",
+                    "https://a.example/404"]))
+    assert out["status"].to_pylist() == [200, 200, 404]
+    assert out["html"].to_pylist()[0] == b"<p>ok</p>"
+    assert out["fetch_round"].to_pylist() == [2, 2, 2]
+    # cookie set by /login is sent on the SAME actor's next request
+    assert calls[1][1].get("Cookie") == "sid=abc123"
+    assert out.schema.names == ["url", "warc_ts", "html", "text", "lang",
+                                "status", "fetch_round", "depth", "discovery_seq"]
+
+
+def test_fetcher_retries_on_retryable_status():
+    attempts = []
+
+    def transport(url, headers):
+        attempts.append(url)
+        return (503, {}, b"") if len(attempts) < 3 else (200, {}, b"<p>late</p>")
+
+    f = FetcherActor(transport=transport,
+                     retry=RetryPolicy(max_attempts=4, backoff_base_s=0.0))
+    out = f(_batch(["https://a.example/x"]))
+    assert out["status"].to_pylist() == [200]
+    assert len(attempts) == 3
+
+
+def test_cookie_jar():
+    j = CookieJar()
+    j.set_from_header("h", "a=1; Path=/")
+    j.set_from_header("h", "b=2")
+    assert j.header_for("h") == "a=1; b=2"
+    assert j.header_for("other") == ""
+
+
+def test_registry():
+    assert get_scalar("canonicalize_url")("HTTP://X.y/") == "http://x.y/"
+    assert "extract_page" in BATCH_KERNELS
+
+    def my_kernel(t):
+        return t
+
+    register_batch_kernel("custom_site_extractor", my_kernel)
+    assert get_batch_kernel("custom_site_extractor") is my_kernel
