@@ -47,7 +47,7 @@ def _bench_once(num_cpus: int, sf_dir: str, crawl_only: bool) -> dict:
     from engine.oracle import CrawlConfig
     from engine.synth import SynthConfig, page_url, pages_dataset
 
-    n_pages = int(os.environ.get("BENCH_PAGES", "1600000"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "800000"))
     n_hosts = max(8, n_pages // 1200)
     cfg = SynthConfig(n_hosts=n_hosts, n_pages=n_pages, links_per_page=8)
     # generate + pin the synthetic web once (setup, untimed)
@@ -121,6 +121,14 @@ def _scaling(sf_dir: str) -> None:
     import statistics
 
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    # one small untimed warm-up run (worker spinup, page cache, JIT)
+    subprocess.run(
+        [sys.executable, "bench.py"],
+        env=dict(os.environ, RAY_GRAFT_CPUS="32", BENCH_CRAWL_ONLY="1",
+                 BENCH_PAGES="50000"),
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
     rates: dict[int, list] = {8: [], 32: []}
     times: dict[int, list] = {8: [], 32: []}
     for _ in range(repeats):

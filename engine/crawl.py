@@ -302,11 +302,17 @@ class CrawlResult:
     metrics: list = field(default_factory=list)
 
     def trace(self) -> list[dict]:
+        """Rows in canonical trace order: (round, discovery_seq, url).
+        Files are written unsorted; ordering is applied here."""
         rows = []
         d = pathlib.Path(self.out_dir) / "trace"
         for p in sorted(d.glob("round=*/trace.parquet"),
                         key=lambda p: int(p.parent.name.split("=")[1])):
-            rows.extend(pq.read_table(p).to_pylist())
+            t = pq.read_table(p)
+            order = pc.sort_indices(
+                t, sort_keys=[("discovery_seq", "ascending"), ("url", "ascending")]
+            )
+            rows.extend(t.take(order).to_pylist())
         return rows
 
     def seen_keys(self, pool: SeenPool) -> set[bytes]:
@@ -666,10 +672,13 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                 prof.mark("fetch_prep")
                 hits.write_parquet(str(fetched_dir))
             prof.mark("fetch_parse_write")
-            hit_parts = [
-                pq.read_table(p, columns=["url"])["url"]
-                for p in fetched_dir.glob("*.parquet")
-            ]
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _read_urls(p):
+                return pq.read_table(p, columns=["url"])["url"]
+
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                hit_parts = list(ex.map(_read_urls, fetched_dir.glob("*.parquet")))
             hit_arr = (
                 pa.concat_arrays([c for part in hit_parts for c in part.chunks])
                 if hit_parts else pa.array([], pa.string())
@@ -706,10 +715,10 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
         tdir = out / "trace" / f"round={rnd}"
         tdir.mkdir(parents=True, exist_ok=True)
         if n_sched:
-            order = pc.sort_indices(
-                sched_tbl, sort_keys=[("discovery_seq", "ascending"), ("url", "ascending")]
-            )
-            st = sched_tbl.take(order)
+            # written UNSORTED (CrawlResult.trace() sorts at read —
+            # trace order is defined by (round, discovery_seq, url),
+            # not file order) so no O(n log n) driver sort per round
+            st = sched_tbl
             st_hit = pc.is_in(st["url"], value_set=hit_arr)
             trace_tbl = pa.table(
                 {
@@ -732,7 +741,7 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                     "status": pa.array([], pa.int32()),
                 }
             )
-        pq.write_table(trace_tbl, tdir / "trace.parquet")
+        pq.write_table(trace_tbl, tdir / "trace.parquet", compression="snappy")
         prof.mark("trace")
 
         # 4. link discovery → fresh frontier (A8,A11,A6,A10,A25,A21).
@@ -814,7 +823,7 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
         nfdir.mkdir(parents=True, exist_ok=True)
         if nxt_tbl is not None:
             if nxt_tbl.num_rows:
-                pq.write_table(nxt_tbl, nfdir / "part-0.parquet", compression="zstd")
+                pq.write_table(nxt_tbl, nfdir / "part-0.parquet", compression="snappy")
         else:
             nxt.write_parquet(str(nfdir))
         prof.mark("links_and_frontier_write")

@@ -73,7 +73,9 @@ def canonicalize_url(url: str) -> str:
         return u
     scheme = parts.scheme.lower()
     if scheme not in ("http", "https"):
-        return u.split("#", 1)[0]
+        # strip again: dropping the fragment can expose trailing
+        # whitespace (e.g. "0\r#") — idempotence is property-tested
+        return u.split("#", 1)[0].strip()
     netloc = parts.netloc
     userinfo = ""
     hostport = netloc
