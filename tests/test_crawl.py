@@ -151,3 +151,17 @@ def test_trace_matches_golden_fixture(ray_session, pages_tbl, tmp_path):
     assert _trace_key(sim.trace) == _trace_key(golden)
     res, _ = _run(tmp_path, pages_tbl, crawl)
     assert _trace_key(res.trace()) == _trace_key(golden)
+
+
+def test_crawl_cuckoo_seen_mode(ray_session, pages_tbl, tmp_path):
+    """north_star: the cuckoo-filter seen backend end-to-end. Inputs
+    are deterministic, so the (tiny) false-positive behavior is fixed:
+    the trace/seen set either matches exactly or the capacity is too
+    small — both stable outcomes, no flakiness."""
+    crawl = CrawlConfig(seeds=SEEDS, budget_per_host=4, max_rounds=40,
+                        seen_mode="cuckoo")
+    sim = simulate(_pages_dict(SYNTH), crawl)
+    res, pool = _run(tmp_path, pages_tbl, crawl)
+    assert _trace_key(res.trace()) == _trace_key(sim.trace)
+    sizes = pool.sizes()
+    assert sum(sizes) == len(sim.seen_urls)
