@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_fns": ops.string_fns,
         "url_canonicalize": ops.url_canonicalize,
         "asof_latest": ops.asof_latest,
+        "sessionize": ops.sessionize,
         "vector_topk": ops.vector_topk,
         # --- training-data pipeline ops (textops) ---
         "token_count": textops.token_count,
@@ -191,6 +192,21 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
             "FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') "
             "WHERE rn = 1"
+        ),
+        "sessionize": (
+            "WITH marked AS ("
+            " SELECT user_id, event_id, ts,"
+            "  CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE"
+            "       OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk"
+            " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+            "), sess AS ("
+            " SELECT user_id, event_id, ts,"
+            "  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            "                 ROWS UNBOUNDED PRECEDING) AS session_id"
+            " FROM marked)"
+            " SELECT user_id, session_id, COUNT(*) AS n_events,"
+            " MIN(ts) AS session_start, MAX(ts) AS session_end"
+            " FROM sess GROUP BY user_id, session_id"
         ),
         "token_count": (
             "SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 "

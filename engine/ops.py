@@ -463,3 +463,40 @@ def topk_groups(sf_dir: str, k: int = 5):
         .sort(["n", "source"], descending=[True, False])
         .limit(k)
     )
+
+
+# ------------------------------------------------------- sessionize
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based session windows over the events log (the
+    stream-shaped custom operator: partition by key, order by time,
+    break a session when the gap exceeds `gap_minutes`). Batch
+    re-expression of a streaming session window — no watermarks, the
+    log is complete (SURVEY.md B14 note; ray_guide 'streaming-shaped
+    workloads'). Output: one row per (user_id, session_id) with event
+    count and exact start/end timestamps — all integer/timestamp
+    values, so the DuckDB oracle matches bit-exactly."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        new_session = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1]) > gap
+        sid = np.cumsum(new_session)
+        g = g.assign(session_id=sid)
+        out = g.groupby("session_id", sort=True).agg(
+            n_events=("event_id", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        ).reset_index()
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return (
+        _t(sf_dir, "events", ["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .select_columns(["user_id", "session_id", "n_events",
+                         "session_start", "session_end"])
+    )
