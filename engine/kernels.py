@@ -338,11 +338,6 @@ def extract_links_batch(t: pa.Table, html_col: str = "html", url_col: str = "url
     )
 
 
-def shard_of_keys(keys: list[bytes] | np.ndarray, num_shards: int) -> np.ndarray:
-    """Shard routing for the seen-set pool: key64 % num_shards."""
-    return np.array([key64(k) % num_shards for k in keys], dtype=np.int64)
-
-
 # ---------------------------------------------------------------------------
 # Combined single-pass text + links extraction (perf path)
 # ---------------------------------------------------------------------------

@@ -36,21 +36,6 @@ def _t(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
-def _round_cols(cols: list[str], ndigits: int = 2):
-    """Floating-point aggregates are rounded to `ndigits` on BOTH the
-    Ray side and the oracle SQL side (ROUND(x, n)) so block-order
-    summation differences in the last ulp can't flip the driver's
-    value-hash comparison."""
-
-    def f(t: pa.Table) -> pa.Table:
-        for c in cols:
-            i = t.column_names.index(c)
-            t = t.set_column(i, c, pc.round(pc.cast(t[c], pa.float64()), ndigits=ndigits, round_mode="half_towards_infinity"))
-        return t
-
-    return f
-
-
 # --------------------------------------------------------------- B1
 def filter_project(sf_dir: str):
     """σ+π: lineitem in a shipdate range, few columns. No shuffle."""
@@ -77,8 +62,8 @@ def _cents(col, scale: float) -> pa.Array:
     """Exact fixed-point: round(col*scale) as int64. Both sides (ray +
     DuckDB oracle) compute this from the SAME input double, so the
     int64 is bit-identical; summing ints is exact, so derived doubles
-    match exactly — no float-summation-order hazard (see _round_cols
-    for why plain rounding is not enough)."""
+    match exactly — no float-summation-order hazard (plain rounding is
+    not enough: pc.round and DuckDB ROUND can differ by 1 ulp)."""
     return pc.cast(
         pc.round(pc.multiply(col, scale), round_mode="half_towards_infinity"),
         pa.int64(),

@@ -20,7 +20,7 @@ set (cuckoo), so the retry gets the same "new" verdict instead of
 False — the seen set never corrupts the frontier on retry.
 
 Routing: shard = key64(url_key) % num_shards, computed batch-side
-(kernels.shard_of_keys); each map_batches task issues ONE batched RPC
+(kernels.key64s_of_matrix % num_shards); each map_batches task issues ONE batched RPC
 per shard it touches.
 """
 

@@ -29,24 +29,6 @@ def cached_get(ref):
     return val
 
 
-_BUILD_CACHE: dict = {}
-
-
-def cached_build(ref, tag: str, builder):
-    """cached_get + a per-worker cache of builder(value): derived
-    indexes (e.g. a url->row dict built from a broadcast Arrow table)
-    are constructed once per worker process instead of once per task
-    or — worse — shipped pre-built from the driver."""
-    key = (ref, tag)
-    if key in _BUILD_CACHE:
-        return _BUILD_CACHE[key]
-    val = builder(cached_get(ref))
-    if len(_BUILD_CACHE) >= 16:
-        _BUILD_CACHE.pop(next(iter(_BUILD_CACHE)))
-    _BUILD_CACHE[key] = val
-    return val
-
-
 def parquet_num_rows(dir_path: str | pathlib.Path) -> int:
     """Row count of a directory of parquet files from file metadata —
     no Ray job, no data read."""
