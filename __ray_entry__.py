@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": textops.dedup_embedding,
         "ann_topk_ivf": textops.ann_ivf_topk,
         "multimodal_decode": textops.multimodal_decode,
+        "clean_corpus": textops.clean_corpus,
         # --- crawl as a query (rows-only: trace of a tiny crawl) ---
         "crawl_trace": _crawl_trace,
     }

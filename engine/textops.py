@@ -581,3 +581,78 @@ def multimodal_decode(sf_dir: str):
             concurrency=2,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite: training-data preparation pipeline
+# ---------------------------------------------------------------------------
+
+def clean_corpus(sf_dir: str, jaccard_threshold: float = 0.7):
+    """End-to-end corpus cleaning — the composite the individual ops
+    exist for: documents → language-ID → quality features → exact
+    dedup (md5, keep min doc_id) → near-dedup (MinHash-LSH verified
+    pairs, drop the higher doc_id of each pair) → cleaned table with
+    features attached. Rows-only (the chain is not SQL-expressible in
+    one statement; each stage is oracle- or unit-checked on its own).
+
+    Scale shape: two broadcast key-sets (exact-dup losers, near-dup
+    losers — both small: they are the DUPLICATES) + stateless feature
+    stages; the only shuffles are the dedup groupbys over narrow
+    (hash, doc_id) rows."""
+    import hashlib as H
+
+    import ray
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
+
+    # losers of exact dedup: every doc_id that is NOT the min of its md5 group
+    def md5_key(t: pa.Table) -> pa.Table:
+        h = [H.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "k": pa.array(h, pa.string())})
+
+    groups = (
+        docs.map_batches(md5_key, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(lambda g: g.assign(keep=g["doc_id"] == g["doc_id"].min()),
+                    batch_format="pandas")
+    )
+    exact_losers = set(
+        r["doc_id"] for r in groups.filter(lambda r: not r["keep"]).take_all()
+    )
+
+    # losers of near-dedup: doc_b of every verified MinHash pair
+    pairs = dedup_minhash(sf_dir, threshold=jaccard_threshold).to_pandas()
+    near_losers = set(pairs["doc_b"].tolist()) - exact_losers
+
+    losers_ref = ray.put(frozenset(exact_losers | near_losers))
+
+    def keep_and_feature(t: pa.Table) -> pa.Table:
+        losers = cached_get(losers_ref)
+        mask = [d not in losers for d in t["doc_id"].to_pylist()]
+        t = t.filter(pa.array(mask, pa.bool_()))
+        # attach features (same kernels as the standalone ops)
+        nchars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        nwords = pc.add(
+            pc.subtract(
+                nchars,
+                pc.cast(pc.utf8_length(pc.replace_substring(t["text"], " ", "")), pa.int64()),
+            ),
+            1,
+        )
+        lid = LangId()
+        preds = lid(t.select(["doc_id", "text"]))
+        fps = [_rolling_fingerprint(s) for s in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "lang": t["lang"],
+                "source": t["source"],
+                "n_chars": nchars,
+                "n_words": nwords,
+                "lang_pred": preds["lang_pred"],
+                "fingerprint": pa.array(fps, pa.uint64()),
+            }
+        )
+
+    return docs.map_batches(keep_and_feature, batch_format="pyarrow")

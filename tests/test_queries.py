@@ -92,3 +92,23 @@ def test_rows_only_queries_run(ray_session, name):
     # determinism: run twice, same normalized content
     res2 = _to_pandas(entrymod.queries()[name](SF))
     pd.testing.assert_frame_equal(_normalize(res), _normalize(res2))
+
+
+def test_clean_corpus_pipeline(ray_session):
+    """Composite training-data prep: output has no exact-duplicate
+    texts, carries the feature columns, and is deterministic."""
+    import hashlib
+
+    from engine.textops import clean_corpus
+
+    df = clean_corpus(SF).to_pandas()
+    assert set(df.columns) == {"doc_id", "text", "lang", "source",
+                               "n_chars", "n_words", "lang_pred", "fingerprint"}
+    md5s = df["text"].map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    assert md5s.is_unique
+    assert (df["n_chars"] == df["text"].str.len()).all()
+    df2 = clean_corpus(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        df.sort_values("doc_id").reset_index(drop=True),
+        df2.sort_values("doc_id").reset_index(drop=True),
+    )
