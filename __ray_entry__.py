@@ -106,9 +106,11 @@ def _crawl_trace(sf_dir: str):
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered per table). Float
-    aggregates are ROUND()ed on both sides — see ops._round_cols.
-    Rows-only ops (sample, url_canonicalize, vector_topk, the dedup
-    family, ann, multimodal, crawl_trace) are deliberately omitted."""
+    aggregates use exact fixed-point (scale to int64 "cents", sum,
+    divide last — see engine.ops._cents) mirrored in the SQL so both
+    sides produce bit-identical doubles. Rows-only ops (sample,
+    url_canonicalize, the dedup family, ann, multimodal, crawl_trace)
+    are deliberately omitted."""
     return {
         "filter_project": (
             "SELECT l_orderkey, l_quantity, l_extendedprice, l_shipdate "
@@ -202,8 +204,8 @@ def oracle_sql() -> dict[str, str]:
             " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
             "), sess AS ("
             " SELECT user_id, event_id, ts,"
-            "  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id"
-            "                 ROWS UNBOUNDED PRECEDING) AS session_id"
+            "  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            "                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id"
             " FROM marked)"
             " SELECT user_id, session_id, COUNT(*) AS n_events,"
             " MIN(ts) AS session_start, MAX(ts) AS session_end"

@@ -39,6 +39,7 @@ def _register_by_value() -> None:
         return
     import engine.crawl
     import engine.frontier
+    import engine.joins
     import engine.kernels
     import engine.ops
     import engine.oracle

@@ -391,12 +391,15 @@ def _seed_frontier_distributed(crawl: CrawlConfig) -> pa.Table:
 
 
 def _config_hash(crawl: CrawlConfig) -> str:
+    # STATE-affecting config only: max_rounds is deliberately excluded
+    # (it is a loop bound — resuming a 2-round checkpoint with
+    # max_rounds=40 is the normal continue-the-crawl flow, not an
+    # incompatible state change).
     blob = json.dumps(
         {
             "seeds": list(crawl.seeds),
             "budget": crawl.budget_per_host,
             "round_time": crawl.round_time_budget_ms,
-            "max_rounds": crawl.max_rounds,
             "robots": list(crawl.robots_raw),
             "shards": crawl.num_shards,
             "mode": crawl.seen_mode,
@@ -437,6 +440,17 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
     manifest_path = out / "MANIFEST.json"
     if resume and manifest_path.exists():
         man = json.loads(manifest_path.read_text())
+        stored = man.get("config_hash")
+        if stored is not None and stored != _config_hash(crawl):
+            # a changed config silently mixes incompatible state (e.g.
+            # fewer shards would reload only shards 0..n-1, dropping
+            # seen keys -> re-crawls). Force an explicit fresh start.
+            raise ValueError(
+                f"resume config mismatch: checkpoint was written with "
+                f"config_hash={stored}, current config hashes to "
+                f"{_config_hash(crawl)}; resume with the original "
+                f"CrawlConfig or start a fresh out_dir"
+            )
         start_round = man["next_round"]
         blobs = [
             (out / "seen" / f"round={start_round}" / f"shard={s}.bin").read_bytes()
@@ -618,9 +632,12 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                          "status", "fetch_round", "depth", "discovery_seq", "links"]
                     )
                     if full.num_rows:
-                        tag = hashlib.sha1(
-                            full["url"][0].as_py().encode()
-                        ).hexdigest()[:16]
+                        hsh = hashlib.sha1()
+                        for _u in full["url"].to_pylist():
+                            hsh.update(_u.encode())
+                            hsh.update(b"\x00")
+                        tag = hsh.hexdigest()[:16]  # all urls, not just
+                        # the first — no collision between batches
                         fname = f"part-{tag}-{full.num_rows}.parquet"
                         tmp = pathlib.Path(_fdir) / (fname + ".tmp")
                         pq.write_table(full, tmp, compression="zstd")

@@ -1,0 +1,103 @@
+"""Bucketed co-partitioned semi/anti join — the big-side scale path
+promised by SURVEY.md §2B B6 (ops.join_semi/join_anti use the broadcast
+key-set form below a size cutoff; this module is the form that holds
+when the key set itself is too large to broadcast).
+
+Shape: both sides are tagged with `bucket = mix64(key) % num_buckets`
+and a side marker, unioned (the probe side keeps its full row, the
+build side travels as key-only rows padded with nulls), and a single
+`groupby(bucket).map_groups` co-locates each bucket: build the key set
+from the build-side rows, filter the probe-side rows with a vectorized
+`pc.is_in`. One all-to-all over (probe rows + build keys); no driver
+materialization; buckets are hash-spread so a skewed key value adds at
+most its own row count to one bucket (keys are member-tested, never
+cross-joined, so bucket size only affects balance, not complexity).
+
+Works for int64 keys natively; string keys are hashed to a 64-bit
+probe key with equality preserved exactly (membership is tested on the
+original value, the hash only routes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — spreads sequential int keys uniformly so
+    bucket routing never inherits key skew/patterns."""
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4B9F9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def _bucket_of(col: pa.ChunkedArray, num_buckets: int) -> pa.Array:
+    """bucket id per value. Int keys route via mix64; string keys via
+    a stable FNV-1a over utf-8 bytes (vectorized per batch)."""
+    if pa.types.is_integer(col.type):
+        x = col.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        b = _mix64(x.view(np.uint64)) % np.uint64(num_buckets)
+        return pa.array(b.astype(np.int32))
+    vals = col.to_pylist()
+    out = np.empty(len(vals), dtype=np.int64)
+    for i, v in enumerate(vals):
+        h = np.uint64(0xCBF29CE484222325)
+        for byte in v.encode("utf-8"):
+            h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = int(h % np.uint64(num_buckets))
+    return pa.array(out.astype(np.int32))
+
+
+def semi_anti_bucketed(left_ds, right_ds, on: str, right_on: str | None = None,
+                       keep_present: bool = True, num_buckets: int = 64):
+    """left semi (keep_present=True) / anti (False) join: keep left rows
+    whose `on` value is (not) present among right's `right_on` values.
+
+    Both datasets stay distributed end-to-end: the only exchange is one
+    groupby over (left rows ∪ right key rows) on the hashed bucket.
+    """
+    right_on = right_on or on
+    left_schema = left_ds.schema()
+    left_names = list(left_schema.names)
+    left_types = {n: left_schema.base_schema.field(n).type for n in left_names}
+    key_type = left_types[on]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.append_column("__bucket", _bucket_of(t[on], num_buckets))
+        t = t.append_column("__k", t[on].combine_chunks().cast(key_type))
+        return t.append_column("__side", pa.array(np.zeros(t.num_rows, np.int8)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        # key-only rows, padded with nulls to the left schema so the
+        # union is schema-aligned (narrow: the pads are null arrays)
+        n = t.num_rows
+        cols = {name: pa.nulls(n, left_types[name]) for name in left_names}
+        out = pa.table(cols)
+        out = out.append_column("__bucket", _bucket_of(t[right_on], num_buckets))
+        out = out.append_column("__k", t[right_on].combine_chunks().cast(key_type))
+        return out.append_column("__side", pa.array(np.ones(n, np.int8)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        rmask = pc.equal(g["__side"], 1)
+        rkeys = g.filter(rmask)["__k"].combine_chunks()
+        lt = g.filter(pc.invert(rmask))
+        if lt.num_rows == 0:
+            return lt.drop_columns(["__k", "__bucket", "__side"])
+        inset = pc.is_in(lt["__k"], value_set=rkeys)
+        mask = inset if keep_present else pc.invert(inset)
+        return lt.filter(mask).drop_columns(["__k", "__bucket", "__side"])
+
+    tagged_l = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    tagged_r = right_ds.map_batches(tag_right, batch_format="pyarrow")
+    return (
+        tagged_l.union(tagged_r)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

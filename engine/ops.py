@@ -12,8 +12,8 @@ Scale notes (per-op "Shuffle?" from SURVEY.md §2B):
   - groupby/sort/join ops shuffle — group keys are low-cardinality
     here, and sums are pre-aggregated per batch where it matters;
   - broadcast joins ray.put the small side once (B5);
-  - semi/anti joins broadcast the key set when small (the documented
-    scale path is a bucketed co-partition, engine.joins).
+  - semi/anti joins broadcast the key set when small; the big-side
+    scale path is engine.joins.semi_anti_bucketed (mode="bucketed").
 """
 
 from __future__ import annotations
@@ -179,24 +179,35 @@ def join_broadcast(sf_dir: str):
 
 
 # --------------------------------------------------------------- B6
-def join_semi(sf_dir: str):
-    """customers WITH a big (>350k) order — broadcast key-set semi join."""
-    return _semi_anti(sf_dir, keep_present=True)
+def join_semi(sf_dir: str, mode: str = "broadcast"):
+    """customers WITH a big (>350k) order — semi join. mode="broadcast"
+    ships the key set via ray.put (right when the distinct key set fits
+    in a worker heap); mode="bucketed" is the engine.joins co-partition
+    that holds when it doesn't (10^9+ distinct keys)."""
+    return _semi_anti(sf_dir, keep_present=True, mode=mode)
 
 
-def join_anti(sf_dir: str):
-    """customers WITHOUT a big (>350k) order — broadcast key-set anti
-    join (big-side scale path: bucketed co-partition, see SURVEY §2B B6)."""
-    return _semi_anti(sf_dir, keep_present=False)
+def join_anti(sf_dir: str, mode: str = "broadcast"):
+    """customers WITHOUT a big (>350k) order — anti join (same two
+    modes as join_semi; scale path = engine.joins.semi_anti_bucketed)."""
+    return _semi_anti(sf_dir, keep_present=False, mode=mode)
 
 
-def _semi_anti(sf_dir: str, keep_present: bool):
+def _semi_anti(sf_dir: str, keep_present: bool, mode: str = "broadcast"):
     import ray
 
     big = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         lambda t: t.filter(pc.greater(t["o_totalprice"], 350000.0)),
         batch_format="pyarrow",
     )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    if mode == "bucketed":
+        from engine.joins import semi_anti_bucketed
+
+        return semi_anti_bucketed(
+            cust, big.select_columns(["o_custkey"]),
+            on="c_custkey", right_on="o_custkey", keep_present=keep_present,
+        )
     keys = set(big.unique("o_custkey"))
     ref = ray.put(frozenset(keys))
 
@@ -205,9 +216,7 @@ def _semi_anti(sf_dir: str, keep_present: bool):
         mask = [((k in s) == keep_present) for k in t["c_custkey"].to_pylist()]
         return t.filter(pa.array(mask, pa.bool_()))
 
-    return _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]).map_batches(
-        f, batch_format="pyarrow"
-    )
+    return cust.map_batches(f, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------- B7

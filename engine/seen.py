@@ -19,6 +19,16 @@ map_batches task re-submits the same keys in the same round;
 set (cuckoo), so the retry gets the same "new" verdict instead of
 False — the seen set never corrupts the frontier on retry.
 
+Cuckoo determinism bound (NOT exact-equivalence): false positives are
+a property of the filter state, and insert order across concurrent
+seen-filter RPCs is scheduler-dependent (eviction consumes the
+per-shard RNG in arrival order), so the false-positive SET — and hence
+a trace that hits one — is only statistically stable (~fp_rate ≈
+2·4/2^16 per lookup at high load), not bit-reproducible across runs.
+Exact mode is the reproducibility backend; cuckoo is the memory-bound
+backend. Insert failures (filter full) are surfaced via
+SeenPool.insert_failures rather than silently re-crawling.
+
 Routing: shard = key64(url_key) % num_shards, computed batch-side
 (kernels.key64s_of_matrix % num_shards); each map_batches task issues ONE batched RPC
 per shard it touches.
@@ -105,6 +115,7 @@ class SeenShard:
             self._cf = CuckooFilter(capacity)
             self._round_added: set[bytes] = set()
             self._round_no = -1
+            self._insert_failures = 0
         else:
             raise ValueError(f"unknown seen mode {mode!r}")
 
@@ -138,10 +149,19 @@ class SeenShard:
                 elif cf.contains(k):
                     out[i] = False
                 else:
-                    cf.insert(k)
+                    if not cf.insert(k):
+                        # filter full: the key is reported new but NOT
+                        # recorded — it would be re-crawled if seen
+                        # again. Counted so undersized capacity is
+                        # visible (SeenPool.insert_failures) instead of
+                        # silently degrading.
+                        self._insert_failures += 1
                     added.add(k)
                     out[i] = True
         return out
+
+    def insert_failures(self) -> int:
+        return getattr(self, "_insert_failures", 0)
 
     def size(self) -> int:
         return len(self._d) if self.mode == "exact" else self._cf.count
@@ -156,6 +176,7 @@ class SeenShard:
             state["count"] = self._cf.count
             state["round_added"] = self._round_added
             state["round_no"] = self._round_no
+            state["insert_failures"] = self._insert_failures
         return pickle.dumps(state, protocol=4)
 
     def load(self, blob: bytes) -> None:
@@ -170,6 +191,7 @@ class SeenShard:
             self._cf.count = state["count"]
             self._round_added = state["round_added"]
             self._round_no = state["round_no"]
+            self._insert_failures = state.get("insert_failures", 0)
 
     def keys_snapshot(self) -> list[bytes]:
         """Exact mode only — for tests / final-seen-set comparison."""
@@ -218,6 +240,14 @@ class SeenPool:
         import ray
 
         return ray.get([a.size.remote() for a in self.actors])
+
+    def insert_failures(self) -> int:
+        """Total cuckoo insert failures across shards (0 in exact
+        mode) — nonzero means capacity_per_shard was undersized and
+        some keys are unrecorded (would re-crawl)."""
+        import ray
+
+        return sum(ray.get([a.insert_failures.remote() for a in self.actors]))
 
     def serialize_all(self) -> list[bytes]:
         import ray

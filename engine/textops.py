@@ -12,6 +12,7 @@ docstrings.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 import struct
 
@@ -24,6 +25,27 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min
 
 from engine.util import cached_get
+
+
+def _conc(n=None):
+    """Actor-pool concurrency for stateful map_batches stages: the
+    caller's override, else an autoscaling (2, cluster CPUs) pool — a
+    fixed small constant starves a 32-CPU node (and any bigger
+    cluster), while a max above the cluster size just queues pending
+    actors that fight shuffle aggregators for CPUs."""
+    if n is not None:
+        return n
+    cpus = 0
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        pass
+    if not cpus:
+        cpus = len(os.sched_getaffinity(0))
+    return (2, max(2, cpus))
 
 
 def _docs(sf_dir: str, columns=None):
@@ -145,9 +167,9 @@ class LangId:
         return pa.table({"doc_id": t["doc_id"], "lang_pred": pa.array(preds, pa.string())})
 
 
-def lang_id(sf_dir: str):
+def lang_id(sf_dir: str, concurrency=None):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=2
+        LangId, batch_format="pyarrow", concurrency=_conc(concurrency)
     )
 
 
@@ -198,6 +220,16 @@ def _perm_params() -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_PERM_CACHE: list = []
+
+
+def _perm_cached() -> tuple[np.ndarray, np.ndarray]:
+    """Once per worker process (deterministic, seeded)."""
+    if not _PERM_CACHE:
+        _PERM_CACHE.append(_perm_params())
+    return _PERM_CACHE[0]
+
+
 def _shingles(s: str, k: int = 3) -> set[int]:
     """Word k-gram shingles as 61-bit hashes."""
     ws = s.split()
@@ -218,10 +250,14 @@ def _minhash(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class MinHasher:
-    """Actor-pool stage: permutation params built once per actor."""
+    """Minhash→LSH banding stage. Permutation params are cached per
+    worker process (_perm_cached), so this runs as PLAIN TASKS in the
+    dedup pipelines — an actor pool here would compete for CPUs with
+    the downstream join/groupby shuffle aggregator actors (observed
+    deadlock at 4 CPUs) for no state benefit."""
 
     def __init__(self, shingle_k: int = 3):
-        self.a, self.b = _perm_params()
+        self.a, self.b = _perm_cached()
         self.k = shingle_k
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -245,59 +281,117 @@ class MinHasher:
         )
 
 
+def _minhash_bands(t: pa.Table) -> pa.Table:
+    """Plain-task banding stage (see MinHasher docstring)."""
+    return MinHasher()(t)
+
+
+_MAX_LSH_BUCKET = 512
+
+
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one (band, band_hash) bucket."""
+    """Candidate pairs within one (band, band_hash) bucket. Buckets up
+    to _MAX_LSH_BUCKET ids emit all pairs; beyond that (boilerplate
+    clusters — 10^5 identical docs would emit 5×10^9 pairs) emit star
+    pairs (min_id, other) only, which preserves duplicate-cluster
+    connectivity for keep/drop decisions at linear cost."""
     ids = sorted(g["doc_id"].unique())
     a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
+    if len(ids) > _MAX_LSH_BUCKET:
+        m = ids[0]
+        for x in ids[1:]:
+            a.append(m)
+            b.append(x)
+    else:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
     return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+
+def _verify_pairs_copart(pairs_ds, docs, verify_fn, threshold: float,
+                         num_partitions: int = 8, num_pair_buckets: int = 64):
+    """Verify candidate pairs against the corpus WITHOUT broadcasting
+    it: explode each (doc_a, doc_b) into two (pair, doc_id) rows, hash
+    co-partition join texts on doc_id (Dataset.join — both sides stay
+    distributed), then one coarse groupby on a pair-hash bucket
+    assembles (text_a, text_b) and verifies. Shuffled volume = pair
+    rows + each pair's two texts; the corpus itself never moves to the
+    driver and is never replicated to every worker. Band-duplicate
+    candidates are deduped locally per batch and globally per pair
+    bucket (same pair always hashes to the same bucket)."""
+    from engine.joins import _mix64
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks()
+        b = t["doc_b"].combine_chunks()
+        tb = pa.table(
+            {
+                "doc_a": pa.concat_arrays([a, a]),
+                "doc_b": pa.concat_arrays([b, b]),
+                "doc_id": pa.concat_arrays([a, b]),
+            }
+        )
+        return tb.group_by(["doc_a", "doc_b", "doc_id"]).aggregate([])
+
+    exploded = pairs_ds.map_batches(explode, batch_format="pyarrow")
+    withtext = exploded.join(
+        docs, "inner", num_partitions=num_partitions, on=("doc_id",)
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        pb = _mix64((a * np.int64(1000003) ^ b).view(np.uint64)) % np.uint64(num_pair_buckets)
+        return t.append_column("pair_bucket", pa.array(pb.astype(np.int32)))
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_a", "doc_b", "doc_id"])
+        ta = g[g["doc_id"] == g["doc_a"]].set_index(["doc_a", "doc_b"])["text"]
+        tb = g[g["doc_id"] == g["doc_b"]].set_index(["doc_a", "doc_b"])["text"]
+        j = ta.to_frame("text_a").join(tb.to_frame("text_b"), how="inner").reset_index()
+        keep_a, keep_b, vals = [], [], []
+        for xa, xb, sa, sb in zip(j["doc_a"], j["doc_b"], j["text_a"], j["text_b"]):
+            v = verify_fn(sa, sb)
+            if v >= threshold:
+                keep_a.append(xa)
+                keep_b.append(xb)
+                vals.append(round(v, 4))
+        return pd.DataFrame(
+            {
+                "doc_a": pd.array(keep_a, dtype="int64"),
+                "doc_b": pd.array(keep_b, dtype="int64"),
+                "jaccard": pd.array(vals, dtype="float64"),
+            }
+        )
+
+    return (
+        withtext.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(assemble, batch_format="pandas")
+    )
+
+
+def _word_jaccard(sa: str, sb: str, k: int = 3) -> float:
+    xa, xb = _shingles(sa, k), _shingles(sb, k)
+    return len(xa & xb) / max(1, len(xa | xb))
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.7):
     """MinHash+LSH near-dup: shingle → 64-perm minhash → 8-band LSH →
-    bucket groupby → candidate pairs → exact-Jaccard verify (broadcast
-    text lookup) → verified pairs (doc_a, doc_b, jaccard). Rows-only.
-
-    Scale: the only all-to-all is the tiny (band, hash, doc_id) table;
-    texts for verification are fetched via broadcast dict here (small
-    sf) — the 10^10 path co-partitions pairs with a bucketed join."""
-    import ray
-
+    bucket groupby → candidate pairs (star-capped, _bucket_pairs) →
+    exact-Jaccard verify via the co-partitioned text join
+    (_verify_pairs_copart — the corpus is never broadcast or
+    driver-materialized) → verified pairs (doc_a, doc_b, jaccard).
+    Rows-only. Only all-to-alls: the narrow (band, hash, doc_id)
+    table, the pair/text join, and the pair-bucket groupby."""
     docs = _docs(sf_dir, ["doc_id", "text"])
-    tbl = pa.concat_tables(ray.get(docs.to_arrow_refs()))
-    text_ref = ray.put(dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())))
-
-    bands = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+    bands = docs.map_batches(_minhash_bands, batch_format="pyarrow")
     pairs = bands.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"
     )
-    # dedup pairs found in multiple bands, then verify exact jaccard
-    uniq = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
-
-    def verify(t: pa.Table) -> pa.Table:
-        texts = cached_get(text_ref)
-        keep_a, keep_b, jac = [], [], []
-        for x, y in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-            sa, sb = _shingles(texts[x]), _shingles(texts[y])
-            j = len(sa & sb) / max(1, len(sa | sb))
-            if j >= threshold:
-                keep_a.append(x)
-                keep_b.append(y)
-                jac.append(round(j, 4))
-        return pa.table(
-            {
-                "doc_a": pa.array(keep_a, pa.int64()),
-                "doc_b": pa.array(keep_b, pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
-            }
-        )
-
-    return uniq.map_batches(verify, batch_format="pyarrow")
+    return _verify_pairs_copart(pairs, docs, _word_jaccard, threshold)
 
 
 def _simhash64(s: str) -> int:
@@ -336,17 +430,29 @@ def dedup_simhash(sf_dir: str):
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # Buckets above _MAX_LSH_BUCKET verify star pairs only (min id
+        # vs rest) — linear, preserves cluster connectivity; the full
+        # scale refinement is two-level blocking (re-block an oversized
+        # 16-bit bucket on a second band) which keeps recall exact.
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
         ids = g["doc_id"].tolist()
         hs = g["simhash"].tolist()
         a, b, d = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ham = bin(hs[i] ^ hs[j]).count("1")
+        if len(ids) > _MAX_LSH_BUCKET:
+            for j in range(1, len(ids)):
+                ham = bin(hs[0] ^ hs[j]).count("1")
                 if ham <= 3:
-                    a.append(ids[i])
+                    a.append(ids[0])
                     b.append(ids[j])
                     d.append(ham)
+        else:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    ham = bin(hs[i] ^ hs[j]).count("1")
+                    if ham <= 3:
+                        a.append(ids[i])
+                        b.append(ids[j])
+                        d.append(ham)
         return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": d})
 
     uniq = (
@@ -360,42 +466,22 @@ def dedup_simhash(sf_dir: str):
     return uniq
 
 
+def _char_jaccard(sa: str, sb: str, k: int = 5) -> float:
+    xa = {sa[i : i + k] for i in range(max(1, len(sa) - k + 1))}
+    xb = {sb[i : i + k] for i in range(max(1, len(sb) - k + 1))}
+    return len(xa & xb) / max(1, len(xa | xb))
+
+
 def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5):
-    """Character-5-gram Jaccard near-dup using the same LSH blocking as
-    dedup_minhash but verifying with char n-grams. Rows-only."""
-    import ray
-
+    """Character-5-gram Jaccard near-dup: same LSH blocking as
+    dedup_minhash, char-n-gram verify via the co-partitioned text join
+    (no corpus broadcast). Rows-only."""
     docs = _docs(sf_dir, ["doc_id", "text"])
-    tbl = pa.concat_tables(ray.get(docs.to_arrow_refs()))
-    text_ref = ray.put(dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())))
-
-    bands = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+    bands = docs.map_batches(_minhash_bands, batch_format="pyarrow")
     pairs = bands.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"
-    ).groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
-
-    def cgrams(s: str, k: int = 5) -> set:
-        return {s[i : i + k] for i in range(max(1, len(s) - k + 1))}
-
-    def verify(t: pa.Table) -> pa.Table:
-        texts = cached_get(text_ref)
-        keep_a, keep_b, jac = [], [], []
-        for x, y in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-            sa, sb = cgrams(texts[x]), cgrams(texts[y])
-            j = len(sa & sb) / max(1, len(sa | sb))
-            if j >= threshold:
-                keep_a.append(x)
-                keep_b.append(y)
-                jac.append(round(j, 4))
-        return pa.table(
-            {
-                "doc_a": pa.array(keep_a, pa.int64()),
-                "doc_b": pa.array(keep_b, pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
-            }
-        )
-
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    )
+    return _verify_pairs_copart(pairs, docs, _char_jaccard, threshold)
 
 
 def dedup_embedding(sf_dir: str, threshold: float = 0.95):
@@ -493,7 +579,8 @@ class IVFScorer:
         )
 
 
-def ann_ivf_topk(sf_dir: str, k: int = 10, n_centroids: int = 16, n_probe: int = 4):
+def ann_ivf_topk(sf_dir: str, k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+                 concurrency=None):
     """IVF-style ANN top-k for the fixed arange probe vector: the
     centroid table is tiny and broadcast; only probed lists are scored.
     Rows-only (approximate by construction)."""
@@ -516,7 +603,7 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, n_centroids: int = 16, n_probe: int =
             IVFScorer,
             fn_constructor_kwargs={"centroids_ref": cent_ref, "probe_centroids": probes},
             batch_format="pyarrow",
-            concurrency=2,
+            concurrency=_conc(concurrency),
         )
         .sort(["cosine", "vec_id"], descending=[True, False])
         .limit(k)
@@ -561,7 +648,7 @@ class FakeImageDecoder:
         )
 
 
-def multimodal_decode(sf_dir: str):
+def multimodal_decode(sf_dir: str, concurrency=None):
     """Opaque-binary pipeline: mint a binary `payload` column (the
     bytes of documents.text — stand-in for image bytes), then run the
     decode/feature actor pool with small batches (large-payload
@@ -578,7 +665,7 @@ def multimodal_decode(sf_dir: str):
             FakeImageDecoder,
             batch_format="pyarrow",
             batch_size=256,  # large binary payloads -> small batches
-            concurrency=2,
+            concurrency=_conc(concurrency),
         )
     )
 
@@ -589,48 +676,58 @@ def multimodal_decode(sf_dir: str):
 
 def clean_corpus(sf_dir: str, jaccard_threshold: float = 0.7):
     """End-to-end corpus cleaning — the composite the individual ops
-    exist for: documents → language-ID → quality features → exact
-    dedup (md5, keep min doc_id) → near-dedup (MinHash-LSH verified
-    pairs, drop the higher doc_id of each pair) → cleaned table with
-    features attached. Rows-only (the chain is not SQL-expressible in
-    one statement; each stage is oracle- or unit-checked on its own).
+    exist for: documents → exact dedup (md5, keep min doc_id) →
+    near-dedup (MinHash-LSH verified pairs, drop the higher doc_id of
+    each pair) → anti-join survivors → language-ID / quality features
+    attached. Rows-only (the chain is not SQL-expressible in one
+    statement; each stage is oracle- or unit-checked on its own).
 
-    Scale shape: two broadcast key-sets (exact-dup losers, near-dup
-    losers — both small: they are the DUPLICATES) + stateless feature
-    stages; the only shuffles are the dedup groupbys over narrow
-    (hash, doc_id) rows."""
+    Scale shape: loser doc_ids are computed as DATASETS (at web scale
+    the dup-loser set is 30-50% of the corpus — never a driver set or
+    broadcast), and dropped with the same bucketed co-partitioned
+    anti-join the generic layer uses (engine.joins); near-dup pairs
+    come from the broadcast-free dedup_minhash. Feature stages are
+    stateless map_batches."""
     import hashlib as H
 
-    import ray
+    from engine.joins import semi_anti_bucketed
 
     docs = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
 
-    # losers of exact dedup: every doc_id that is NOT the min of its md5 group
+    # exact-dup losers: every doc_id that is NOT the min of its md5
+    # group. Coarse-bucketed groupby (256 buckets, vectorized
+    # transform("min") within) — not one group per distinct text.
     def md5_key(t: pa.Table) -> pa.Table:
         h = [H.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "k": pa.array(h, pa.string())})
+        b = [int(x[:8], 16) % 256 for x in h]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "k": pa.array(h, pa.string()),
+                "bucket": pa.array(b, pa.int32()),
+            }
+        )
 
-    groups = (
+    def losers_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        mins = g.groupby("k")["doc_id"].transform("min")
+        return g.loc[g["doc_id"] != mins, ["doc_id"]]
+
+    losers_exact = (
         docs.map_batches(md5_key, batch_format="pyarrow")
-        .groupby("k")
-        .map_groups(lambda g: g.assign(keep=g["doc_id"] == g["doc_id"].min()),
-                    batch_format="pandas")
-    )
-    exact_losers = set(
-        r["doc_id"] for r in groups.filter(lambda r: not r["keep"]).take_all()
+        .groupby("bucket")
+        .map_groups(losers_in_bucket, batch_format="pandas")
     )
 
-    # losers of near-dedup: doc_b of every verified MinHash pair
-    pairs = dedup_minhash(sf_dir, threshold=jaccard_threshold).to_pandas()
-    near_losers = set(pairs["doc_b"].tolist()) - exact_losers
+    # near-dup losers: doc_b of every verified MinHash pair
+    losers_near = dedup_minhash(sf_dir, threshold=jaccard_threshold).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_b"]}), batch_format="pyarrow"
+    )
 
-    losers_ref = ray.put(frozenset(exact_losers | near_losers))
+    kept = semi_anti_bucketed(
+        docs, losers_exact.union(losers_near), on="doc_id", keep_present=False
+    )
 
-    def keep_and_feature(t: pa.Table) -> pa.Table:
-        losers = cached_get(losers_ref)
-        mask = [d not in losers for d in t["doc_id"].to_pylist()]
-        t = t.filter(pa.array(mask, pa.bool_()))
-        # attach features (same kernels as the standalone ops)
+    def feature(t: pa.Table) -> pa.Table:
         nchars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
         nwords = pc.add(
             pc.subtract(
@@ -655,4 +752,4 @@ def clean_corpus(sf_dir: str, jaccard_threshold: float = 0.7):
             }
         )
 
-    return docs.map_batches(keep_and_feature, batch_format="pyarrow")
+    return kept.map_batches(feature, batch_format="pyarrow")

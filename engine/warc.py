@@ -69,7 +69,12 @@ def write_warc_batch(t: pa.Table, out_dir: str) -> pa.Table:
              "offset": pa.array([], pa.int64()),
              "length": pa.array([], pa.int64())}
         )
-    tag = hashlib.sha1(urls[0].encode()).hexdigest()[:16]
+    h = hashlib.sha1()
+    for u in urls:
+        h.update(u.encode())
+        h.update(b"\x00")
+    tag = h.hexdigest()[:16]  # ALL urls: two batches sharing a first
+    # url (duplicate input rows) must not collide and overwrite parts
     fname = f"part-{tag}-{len(urls)}.warc.gz"
     buf = io.BytesIO()
     offsets, lengths = [], []

@@ -154,10 +154,13 @@ def test_trace_matches_golden_fixture(ray_session, pages_tbl, tmp_path):
 
 
 def test_crawl_cuckoo_seen_mode(ray_session, pages_tbl, tmp_path):
-    """north_star: the cuckoo-filter seen backend end-to-end. Inputs
-    are deterministic, so the (tiny) false-positive behavior is fixed:
-    the trace/seen set either matches exactly or the capacity is too
-    small — both stable outcomes, no flakiness."""
+    """north_star: the cuckoo-filter seen backend end-to-end. The
+    false-positive set is only STATISTICALLY stable (insert order
+    across concurrent RPCs is scheduler-dependent — engine.seen module
+    docstring); at this capacity/load the fp probability over the whole
+    run is ≈ n·8/2^16 ≈ 2% — if this assert ever trips, that's the
+    documented bound, not a regression. Capacity is sized so inserts
+    never fail (checked explicitly)."""
     crawl = CrawlConfig(seeds=SEEDS, budget_per_host=4, max_rounds=40,
                         seen_mode="cuckoo")
     sim = simulate(_pages_dict(SYNTH), crawl)
@@ -165,3 +168,4 @@ def test_crawl_cuckoo_seen_mode(ray_session, pages_tbl, tmp_path):
     assert _trace_key(res.trace()) == _trace_key(sim.trace)
     sizes = pool.sizes()
     assert sum(sizes) == len(sim.seen_urls)
+    assert pool.insert_failures() == 0

@@ -1,0 +1,117 @@
+"""Scale-path regressions: bucketed co-partitioned semi/anti joins
+(engine.joins), broadcast-free near-dedup verify, clean_corpus without
+driver materialization, LSH bucket caps, resume config guard.
+
+The dedup goldens (tests/fixtures/dedup_golden.json) snapshot the
+round-1 outputs at sf0.001 — the co-partitioned verify path must
+reproduce them exactly (same pair sets, same jaccard values)."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+GOLD = json.loads(
+    (pathlib.Path(__file__).parent / "fixtures" / "dedup_golden.json").read_text()
+)["sf0.001"]
+
+
+def _sorted_df(ds, by):
+    return ds.to_pandas().sort_values(by).reset_index(drop=True)
+
+
+def test_semi_anti_bucketed_matches_broadcast(ray_session):
+    from engine import ops
+
+    for fn in (ops.join_semi, ops.join_anti):
+        a = _sorted_df(fn(SF), "c_custkey")
+        b = _sorted_df(fn(SF, mode="bucketed"), "c_custkey")
+        pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+
+def test_semi_anti_bucketed_string_key(ray_session):
+    """String join keys route via the FNV bucket hash; membership is
+    still tested on the original values (hash only routes)."""
+    import ray.data as rd
+
+    from engine.joins import semi_anti_bucketed
+
+    left = rd.from_items([{"k": f"key-{i}", "v": i} for i in range(50)])
+    right = rd.from_items([{"k": f"key-{i}"} for i in range(0, 50, 3)])
+    semi = semi_anti_bucketed(left, right, on="k", keep_present=True, num_buckets=8)
+    anti = semi_anti_bucketed(left, right, on="k", keep_present=False, num_buckets=8)
+    got_semi = sorted(semi.to_pandas()["v"].tolist())
+    got_anti = sorted(anti.to_pandas()["v"].tolist())
+    assert got_semi == [i for i in range(50) if i % 3 == 0]
+    assert got_anti == [i for i in range(50) if i % 3 != 0]
+    assert sorted(got_semi + got_anti) == list(range(50))
+
+
+def test_dedup_minhash_matches_golden(ray_session):
+    from engine import textops
+
+    got = _sorted_df(textops.dedup_minhash(SF), ["doc_a", "doc_b"])
+    want = pd.DataFrame(GOLD["minhash"]).astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_dedup_ngram_matches_golden(ray_session):
+    from engine import textops
+
+    got = _sorted_df(textops.dedup_ngram_jaccard(SF), ["doc_a", "doc_b"])
+    want = pd.DataFrame(GOLD["ngram"]).astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_clean_corpus_matches_golden(ray_session):
+    from engine import textops
+
+    got = textops.clean_corpus(SF).to_pandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == GOLD["clean_corpus_ids"]
+    assert len(got) == GOLD["clean_corpus_nrows"]
+
+
+def test_no_corpus_broadcast_in_textops():
+    """The canonical anti-pattern (driver-materialize the documents
+    table and broadcast a dict of all texts) must not reappear."""
+    src = (pathlib.Path(__file__).parent.parent / "engine" / "textops.py").read_text()
+    assert "to_arrow_refs" not in src
+    assert "take_all" not in src
+
+
+def test_bucket_pairs_star_cap():
+    """Oversized LSH buckets emit star pairs (linear), small buckets
+    emit all pairs — and the cap preserves cluster connectivity."""
+    from engine.textops import _MAX_LSH_BUCKET, _bucket_pairs
+
+    small = pd.DataFrame({"doc_id": [3, 1, 2]})
+    got = _bucket_pairs(small)
+    assert got.values.tolist() == [[1, 2], [1, 3], [2, 3]]
+
+    big = pd.DataFrame({"doc_id": list(range(_MAX_LSH_BUCKET + 10))})
+    got = _bucket_pairs(big)
+    assert len(got) == _MAX_LSH_BUCKET + 9  # star: min vs each other
+    assert (got["doc_a"] == 0).all()
+
+
+def test_resume_config_mismatch_raises(ray_session, tmp_path):
+    from engine.crawl import run_crawl
+    from engine.oracle import CrawlConfig
+    from engine.synth import SynthConfig, build_pages_table, page_url
+
+    pages = build_pages_table(SynthConfig(n_hosts=3, n_pages=40))
+    out = str(tmp_path / "crawl")
+    crawl = CrawlConfig(seeds=(page_url(0, 0),), budget_per_host=2, max_rounds=2)
+    run_crawl(pages, crawl, out)
+    # same config, more rounds: legitimate resume (loop bound excluded)
+    more = CrawlConfig(seeds=(page_url(0, 0),), budget_per_host=2, max_rounds=3)
+    run_crawl(pages, more, out, resume=True)
+    # changed state-affecting config: must refuse
+    changed = CrawlConfig(seeds=(page_url(0, 0),), budget_per_host=9, max_rounds=3)
+    with pytest.raises(ValueError, match="config mismatch"):
+        run_crawl(pages, changed, out, resume=True)
