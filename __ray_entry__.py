@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_topk": ops.vector_topk,
         # --- training-data pipeline ops (textops) ---
         "token_count": textops.token_count,
+        "bpe_token_count": textops.bpe_token_count,
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
         "doc_fingerprint": textops.doc_fingerprint,
@@ -108,10 +109,52 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered per table). Float
     aggregates use exact fixed-point (scale to int64 "cents", sum,
     divide last — see engine.ops._cents) mirrored in the SQL so both
-    sides produce bit-identical doubles. Rows-only ops (sample,
-    url_canonicalize, the dedup family, ann, multimodal, crawl_trace)
-    are deliberately omitted."""
+    sides produce bit-identical doubles. Rows-only ops
+    (url_canonicalize, the dedup family, ann, multimodal, crawl_trace)
+    are deliberately omitted — not SQL-expressible (sha1/LSH/actor
+    state)."""
+    from engine.textops import _STOPWORDS
+
+    def _in(ws):
+        return ", ".join(f"'{w}'" for w in sorted(ws))
+
+    word_re = "[a-zA-ZäöüßáéíóúàèùâêîôûñçÄÖÜ]+"
+    lang_sql = (
+        "WITH cnt AS (SELECT doc_id, text, "
+        + ", ".join(
+            f"len(list_filter(list_transform(regexp_extract_all(text, '{word_re}'), "
+            f"x -> lower(x)), x -> x IN ({_in(_STOPWORDS[lang])}))) AS {lang}"
+            for lang in ("en", "es", "de", "fr")
+        )
+        + " FROM documents) SELECT doc_id, CASE"
+        " WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'"
+        " WHEN en > 0 AND es <= en AND de <= en AND fr <= en THEN 'en'"
+        " WHEN es > 0 AND es > en AND de <= es AND fr <= es THEN 'es'"
+        " WHEN de > 0 AND de > en AND de > es AND fr <= de THEN 'de'"
+        " WHEN fr > 0 AND fr > en AND fr > es AND fr > de THEN 'fr'"
+        " ELSE 'unk' END AS lang_pred FROM cnt"
+    )
+    probe = "[" + ", ".join(f"{float(i)!r}" for i in range(64)) + "]"
     return {
+        "sample": (
+            "SELECT l_orderkey, l_linenumber FROM lineitem "
+            "WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || "
+            "CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0','1','2','3')"
+        ),
+        # probe = unnormalized arange(64): cosine is normalization-
+        # invariant, and integer-valued double literals are exact, so
+        # both sides round the same float64 cosine to 6 dp fixed-point
+        "vector_topk": (
+            f"SELECT vec_id, CAST(ROUND(list_cosine_similarity("
+            f"CAST(embedding AS DOUBLE[]), {probe}) * 1000000) AS BIGINT)"
+            f" / 1000000.0 AS cosine FROM embeddings "
+            f"ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
+        "lang_id": lang_sql,
+        "bpe_token_count": (
+            "SELECT doc_id, len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) "
+            "AS n_tokens FROM documents"
+        ),
         "filter_project": (
             "SELECT l_orderkey, l_quantity, l_extendedprice, l_shipdate "
             "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' "

@@ -290,10 +290,27 @@ def union_all(sf_dir: str):
 
 
 # --------------------------------------------------------------- B12
-def sample(sf_dir: str, fraction: float = 0.25, seed: int = 42):
-    """Bernoulli sample of lineitem (rows-only oracle check)."""
-    return _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]).random_sample(
-        fraction, seed=seed
+def sample(sf_dir: str, hex_digits: int = 4):
+    """Deterministic hash sample of lineitem (~25%): keep rows whose
+    md5('<l_orderkey>-<l_linenumber>') first hex digit < hex_digits.
+    At 100 TB this is the right sampling primitive — reproducible,
+    retry-safe and resumable (membership is a pure row function, not a
+    function of row order / RNG stream like Dataset.random_sample),
+    and exactly SQL-mirrored (DuckDB md5 == hashlib md5). A seeded
+    Bernoulli variant remains available via Dataset.random_sample."""
+    import hashlib
+
+    allowed = frozenset("0123456789abcdef"[:hex_digits])
+
+    def f(t: pa.Table) -> pa.Table:
+        ok = [
+            hashlib.md5(f"{a}-{b}".encode()).hexdigest()[0] in allowed
+            for a, b in zip(t["l_orderkey"].to_pylist(), t["l_linenumber"].to_pylist())
+        ]
+        return t.filter(pa.array(ok, pa.bool_()))
+
+    return _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]).map_batches(
+        f, batch_format="pyarrow"
     )
 
 
@@ -421,19 +438,28 @@ def vector_topk(sf_dir: str, k: int = 10):
     vector: numpy matmul per batch (broadcast probe), local top-k, then
     tiny global sort+limit. The IVF/LSH scale path is
     engine.textops.ann_ivf_topk."""
-    probe_src = np.arange(64, dtype=np.float32)  # deterministic probe
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def score(t: pa.Table) -> pa.Table:
-        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
-        probe = probe_src[: mat.shape[1]].copy()
-        probe /= np.linalg.norm(probe) or 1.0
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        cos = (mat @ probe) / norms
-        t2 = pa.table(
-            {"vec_id": t["vec_id"], "cosine": pa.array(cos.astype(np.float64))}
+        # float64 end-to-end + fixed-point round to 6 dp so the DuckDB
+        # oracle (list_cosine_similarity on the same float32 inputs
+        # upcast to double) lands on the bit-identical rounded double;
+        # ranking uses the ROUNDED value on both sides (ties broken by
+        # vec_id) so the top-k sets agree exactly.
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        probe = np.arange(mat.shape[1], dtype=np.float64)
+        denom = np.linalg.norm(mat, axis=1) * np.linalg.norm(probe)
+        denom[denom == 0] = 1.0
+        cos = (mat @ probe) / denom
+        cos_r = pc.divide(
+            pc.cast(
+                pc.round(pc.multiply(pa.array(cos), 1e6),
+                         round_mode="half_towards_infinity"),
+                pa.int64(),
+            ).cast(pa.float64()),
+            1e6,
         )
+        t2 = pa.table({"vec_id": t["vec_id"], "cosine": cos_r})
         idx = pc.sort_indices(
             t2, sort_keys=[("cosine", "descending"), ("vec_id", "ascending")]
         )
