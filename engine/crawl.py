@@ -18,11 +18,14 @@ materialization of frontier/scheduled is bounded; page payloads stream
 from parquet to parquet and are never held.
 
 Fetch (A13/A23) is hermetic in this sandbox: a lookup of url →
-(html, warc_ts) in the pages table. `fetch_mode="broadcast"` ray.puts
-the scheduled url→metadata dict once and streams pages through one
-map_batches (no shuffle; right for sched ≤ ~1e6); `fetch_mode="join"`
-uses Dataset.join(sched, pages) — the all-to-all path for a 10^10
-frontier where the scheduled set itself is huge.
+(html, warc_ts) in the pages table. Two single-pass fetch paths:
+`fetch_mode="broadcast"` (hybrid branch only, frontier ≤
+schedule_cutoff_rows) ray.puts the scheduled metadata table once and
+streams pages through one map_batches (no shuffle); the distributed
+branch (and `fetch_mode="join"`) runs _join_fetch_round — a left_outer
+Dataset.join sched ⋈ pages whose tasks write fetched/trace/counts
+parts themselves and stream link candidates into the seen filter, so
+nothing O(scheduled) ever lands on the driver.
 
 Checkpoint layout (§4.3): out/{fetched,frontier,seen,lineage,trace}/
 round=R/... + MANIFEST.json written LAST (commit point). Resume reads
@@ -288,6 +291,104 @@ def _dedup_first(g: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False).cast(g.schema)
 
 
+def _join_fetch_round(sched_ds, pages_ds, rnd: int, fetched_dir, trace_dir,
+                      policy, seed_hosts, pool, nparts: int):
+    """A13/A23 distributed fetch — the 10^10-frontier path where the
+    scheduled set itself is too big for the driver or a broadcast. The
+    scheduled rows stay a Dataset end-to-end: one left_outer hash join
+    sched ⋈ pages on url (misses surface as null page columns = 404),
+    then a SINGLE-PASS map_batches per joined block that
+
+      * writes the fetched part (hits parsed + misses as 404 rows),
+      * writes the trace part and a 1-row counts part, and
+      * RETURNS only the narrow link-candidate frontier rows, which
+        stream straight into the seen filter.
+
+    Nothing O(scheduled) is ever concatenated on the driver; round
+    counts come from the tiny per-task counts parts. File names hash
+    all urls in the block (idempotent under task retry)."""
+    fetched_dir.mkdir(parents=True, exist_ok=True)
+    trace_dir.mkdir(parents=True, exist_ok=True)
+    joined = sched_ds.select_columns(
+        ["url", "host", "depth", "discovery_seq"]
+    ).join(pages_ds, "left_outer", num_partitions=nparts, on=("url",))
+    _fd, _td = str(fetched_dir), str(trace_dir)
+    _policy, _sh = policy, seed_hosts
+
+    def process(t: pa.Table, _rnd=rnd) -> pa.Table:
+        import os as _os
+
+        if t.num_rows == 0:
+            empty_links = pa.table(
+                {"url": pa.array([], pa.string()),
+                 "links": pa.array([], LINKS_TYPE),
+                 "depth": pa.array([], pa.int32())}
+            )
+            return _links_to_frontier(_explode_links(empty_links), _policy, _sh)
+        hit = pc.is_valid(t["html"])
+        t = extract_page_batch(t)  # null html -> text "", links []
+        n = t.num_rows
+        status = pc.if_else(hit, pa.scalar(200, pa.int32()), pa.scalar(404, pa.int32()))
+        full = pa.table(
+            {
+                "url": t["url"],
+                "warc_ts": t["warc_ts"],
+                "html": t["html"],
+                "text": t["text"],
+                "lang": t["lang"],
+                "status": status,
+                "fetch_round": pa.array(np.full(n, _rnd, np.int32)),
+                "depth": t["depth"],
+                "discovery_seq": t["discovery_seq"],
+                "links": t["links"],
+            }
+        )
+        hsh = hashlib.sha1()
+        for _u in t["url"].to_pylist():
+            hsh.update(_u.encode())
+            hsh.update(b"\x00")
+        tag = hsh.hexdigest()[:16]
+
+        def _write(tbl: pa.Table, d: str, name: str, comp: str) -> None:
+            tmp = pathlib.Path(d) / (name + ".tmp")
+            pq.write_table(tbl, tmp, compression=comp)
+            _os.replace(tmp, pathlib.Path(d) / name)
+
+        _write(full, _fd, f"part-{tag}-{n}.parquet", "zstd")
+        trace_tbl = pa.table(
+            {
+                "round": pa.array(np.full(n, _rnd, np.int32)),
+                "host": t["host"],
+                "url": t["url"],
+                "discovery_seq": t["discovery_seq"],
+                "status": status,
+            }
+        )
+        _write(trace_tbl, _td, f"trace-{tag}.parquet", "snappy")
+        n_hit = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0
+        counts = pa.table(
+            {"n": pa.array([n], pa.int64()), "n_hit": pa.array([n_hit], pa.int64())}
+        )
+        _write(counts, _td, f"counts-{tag}.parquet", "snappy")
+        hits_full = full.filter(hit)
+        links_t = _explode_links(hits_full.select(["url", "links", "depth"]))
+        return _links_to_frontier(links_t, _policy, _sh)
+
+    survivors = (
+        joined.map_batches(process, batch_format="pyarrow")
+        .map_batches(
+            seen_filter_fn(pool.actors, pool.num_shards, rnd), batch_format="pyarrow"
+        )
+        .materialize()  # narrow rows only
+    )
+    n_sched = n_fetched = 0
+    for p in pathlib.Path(_td).glob("counts-*.parquet"):
+        ct = pq.read_table(p)
+        n_sched += ct["n"][0].as_py()
+        n_fetched += ct["n_hit"][0].as_py()
+    return survivors, n_sched, n_fetched, n_sched - n_fetched
+
+
 # ---------------------------------------------------------------------------
 # crawl driver
 # ---------------------------------------------------------------------------
@@ -303,12 +404,17 @@ class CrawlResult:
 
     def trace(self) -> list[dict]:
         """Rows in canonical trace order: (round, discovery_seq, url).
-        Files are written unsorted; ordering is applied here."""
+        Files are written unsorted (and the distributed fetch writes
+        several trace parts per round); ordering is applied here."""
         rows = []
         d = pathlib.Path(self.out_dir) / "trace"
-        for p in sorted(d.glob("round=*/trace.parquet"),
-                        key=lambda p: int(p.parent.name.split("=")[1])):
-            t = pq.read_table(p)
+        for rdir in sorted(d.glob("round=*"),
+                           key=lambda p: int(p.name.split("=")[1])):
+            parts = [pq.read_table(p) for p in sorted(rdir.glob("trace*.parquet"))]
+            parts = [p for p in parts if p.num_rows]
+            if not parts:
+                continue
+            t = pa.concat_tables(parts)
             order = pc.sort_indices(
                 t, sort_keys=[("discovery_seq", "ascending"), ("url", "ascending")]
             )
@@ -506,7 +612,12 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
             deferred = rd.from_arrow(deferred_tbl)
             prof.mark("schedule_local")
         else:
+            # fully distributed branch: the frontier AND the scheduled
+            # set stay Datasets — a budget-bound round of a 10^10
+            # frontier can schedule 10^8+ rows, so no
+            # ray.get/concat_tables of scheduled rows on the driver.
             deferred_tbl = None
+            sched_tbl = None
             frontier_ds = rd.read_parquet(str(fdir))
             if robots.rules:
                 gated = frontier_ds.map_batches(
@@ -527,21 +638,16 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                     return fr.mark_scheduled(t, cached_get(thr_ref))
 
                 marked = gated.map_batches(_mark, batch_format="pyarrow").materialize()
-                sched_parts = [
-                    t.filter(t["scheduled"]).drop_columns(["scheduled"])
-                    for t in ray.get(marked.to_arrow_refs())
-                    if t.num_rows
-                ]
-                sched_parts = [t for t in sched_parts if t.num_rows]
-                sched_tbl = (
-                    pa.concat_tables(sched_parts) if sched_parts else empty_frontier
+                sched_ds = marked.map_batches(
+                    lambda t: t.filter(t["scheduled"]).drop_columns(["scheduled"]),
+                    batch_format="pyarrow",
                 )
                 deferred = marked.map_batches(
                     lambda t: t.filter(pc.invert(t["scheduled"])).drop_columns(["scheduled"]),
                     batch_format="pyarrow",
                 )
             else:
-                sched_tbl = empty_frontier
+                sched_ds = rd.from_arrow(empty_frontier)
                 deferred = rd.from_arrow(empty_frontier)
 
         # 3. hermetic fetch (A13/A23). Round-owned output dirs are
@@ -557,10 +663,11 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                       out / "trace" / f"round={rnd}"):
             if stale.exists():
                 shutil.rmtree(stale)
-        n_sched = sched_tbl.num_rows
-        survivors = None  # set by the single-pass broadcast pipeline
-        if n_sched > 0:
-            if fetch_mode == "broadcast":
+        survivors = None  # set by the single-pass fetch pipelines
+        tdir = out / "trace" / f"round={rnd}"
+        if sched_tbl is not None and fetch_mode == "broadcast":
+            n_sched = sched_tbl.num_rows
+            if n_sched > 0:
                 # broadcast the scheduled (k64, url, depth, seq) table
                 # as Arrow (fast IPC serialization). The per-batch
                 # lookup is a FLIPPED Acero join on an INT64 key:
@@ -659,107 +766,94 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                     )
                     .materialize()  # narrow rows only
                 )
-                hits = None
-            else:  # join mode: all-to-all on url (scale path)
-                sched_ds = rd.from_arrow(
-                    sched_tbl.select(["url", "depth", "discovery_seq"])
+                prof.mark("fetch_parse_write")
+                from concurrent.futures import ThreadPoolExecutor
+
+                def _read_urls(p):
+                    return pq.read_table(p, columns=["url"])["url"]
+
+                with ThreadPoolExecutor(max_workers=8) as ex:
+                    hit_parts = list(ex.map(_read_urls, fetched_dir.glob("*.parquet")))
+                hit_arr = (
+                    pa.concat_arrays([c for part in hit_parts for c in part.chunks])
+                    if hit_parts else pa.array([], pa.string())
                 )
-                nparts = max(2, crawl.num_partitions)
-                hits = sched_ds.join(
-                    pages_ds, "inner", num_partitions=nparts, on=("url",)
-                ).map_batches(
-                    lambda t, _rnd=rnd: t.append_column(
-                        "status", pa.array([200] * t.num_rows, pa.int32())
-                    ).append_column(
-                        "fetch_round", pa.array([_rnd] * t.num_rows, pa.int32())
-                    ),
-                    batch_format="pyarrow",
-                )
-            if hits is not None:
-                # join path: recompute text (A9, the byte-identity
-                # surface) AND extract links in ONE html parse; links
-                # persist as a list<struct> column for the read-back
-                # link stage
-                hits = hits.map_batches(extract_page_batch, batch_format="pyarrow")
-                hits = hits.select_columns(
-                    ["url", "warc_ts", "html", "text", "lang",
-                     "status", "fetch_round", "depth", "discovery_seq", "links"]
-                )
+                n_fetched = len(hit_arr)
+                # 404s: scheduled urls with no page (vectorized anti via is_in)
+                hit_mask = pc.is_in(sched_tbl["url"], value_set=hit_arr)
+                miss_tbl_src = sched_tbl.filter(pc.invert(hit_mask))
+                n_errors = miss_tbl_src.num_rows
+                if n_errors:
+                    nulls = pa.nulls(n_errors)
+                    miss_tbl = pa.table(
+                        {
+                            "url": miss_tbl_src["url"],
+                            "warc_ts": nulls.cast(pa.timestamp("us")),
+                            "html": nulls.cast(pa.binary()),
+                            "text": pa.array([""] * n_errors, pa.string()),
+                            "lang": nulls.cast(pa.string()),
+                            "status": pa.array(np.full(n_errors, 404, np.int32)),
+                            "fetch_round": pa.array(np.full(n_errors, rnd, np.int32)),
+                            "depth": miss_tbl_src["depth"],
+                            "discovery_seq": miss_tbl_src["discovery_seq"],
+                            "links": pa.array([[] for _ in range(n_errors)], LINKS_TYPE),
+                        }
+                    )
+                    pq.write_table(miss_tbl, fetched_dir / "misses.parquet")
+                prof.mark("misses")
+            else:
                 fetched_dir.mkdir(parents=True, exist_ok=True)
-                prof.mark("fetch_prep")
-                hits.write_parquet(str(fetched_dir))
-            prof.mark("fetch_parse_write")
-            from concurrent.futures import ThreadPoolExecutor
+                n_fetched = n_errors = 0
+                hit_arr = pa.array([], pa.string())
 
-            def _read_urls(p):
-                return pq.read_table(p, columns=["url"])["url"]
-
-            with ThreadPoolExecutor(max_workers=8) as ex:
-                hit_parts = list(ex.map(_read_urls, fetched_dir.glob("*.parquet")))
-            hit_arr = (
-                pa.concat_arrays([c for part in hit_parts for c in part.chunks])
-                if hit_parts else pa.array([], pa.string())
-            )
-            n_fetched = len(hit_arr)
-            # 404s: scheduled urls with no page (vectorized anti via is_in)
-            hit_mask = pc.is_in(sched_tbl["url"], value_set=hit_arr)
-            miss_tbl_src = sched_tbl.filter(pc.invert(hit_mask))
-            n_errors = miss_tbl_src.num_rows
-            if n_errors:
-                nulls = pa.nulls(n_errors)
-                miss_tbl = pa.table(
+            # trace (FIXTURES.md §4): scheduled rows, (seq, url) order.
+            # Driver-written here (bounded by schedule_cutoff_rows);
+            # the distributed path writes trace parts task-side.
+            tdir.mkdir(parents=True, exist_ok=True)
+            if n_sched:
+                # written UNSORTED (CrawlResult.trace() sorts at read —
+                # trace order is defined by (round, discovery_seq, url),
+                # not file order) so no O(n log n) driver sort per round
+                st = sched_tbl
+                st_hit = pc.is_in(st["url"], value_set=hit_arr)
+                trace_tbl = pa.table(
                     {
-                        "url": miss_tbl_src["url"],
-                        "warc_ts": nulls.cast(pa.timestamp("us")),
-                        "html": nulls.cast(pa.binary()),
-                        "text": pa.array([""] * n_errors, pa.string()),
-                        "lang": nulls.cast(pa.string()),
-                        "status": pa.array(np.full(n_errors, 404, np.int32)),
-                        "fetch_round": pa.array(np.full(n_errors, rnd, np.int32)),
-                        "depth": miss_tbl_src["depth"],
-                        "discovery_seq": miss_tbl_src["discovery_seq"],
-                        "links": pa.array([[] for _ in range(n_errors)], LINKS_TYPE),
+                        "round": pa.array(np.full(n_sched, rnd, np.int32)),
+                        "host": st["host"],
+                        "url": st["url"],
+                        "discovery_seq": st["discovery_seq"],
+                        "status": pc.if_else(
+                            st_hit, pa.scalar(200, pa.int32()), pa.scalar(404, pa.int32())
+                        ),
                     }
                 )
-                pq.write_table(miss_tbl, fetched_dir / "misses.parquet")
-            prof.mark("misses")
+            else:
+                trace_tbl = pa.table(
+                    {
+                        "round": pa.array([], pa.int32()),
+                        "host": pa.array([], pa.string()),
+                        "url": pa.array([], pa.string()),
+                        "discovery_seq": pa.array([], pa.int64()),
+                        "status": pa.array([], pa.int32()),
+                    }
+                )
+            pq.write_table(trace_tbl, tdir / "trace.parquet", compression="snappy")
+            prof.mark("trace")
         else:
-            fetched_dir.mkdir(parents=True, exist_ok=True)
-            n_fetched = n_errors = 0
-            hit_arr = pa.array([], pa.string())
-
-        # trace (FIXTURES.md §4): scheduled rows, (seq, url) order
-        tdir = out / "trace" / f"round={rnd}"
-        tdir.mkdir(parents=True, exist_ok=True)
-        if n_sched:
-            # written UNSORTED (CrawlResult.trace() sorts at read —
-            # trace order is defined by (round, discovery_seq, url),
-            # not file order) so no O(n log n) driver sort per round
-            st = sched_tbl
-            st_hit = pc.is_in(st["url"], value_set=hit_arr)
-            trace_tbl = pa.table(
-                {
-                    "round": pa.array(np.full(n_sched, rnd, np.int32)),
-                    "host": st["host"],
-                    "url": st["url"],
-                    "discovery_seq": st["discovery_seq"],
-                    "status": pc.if_else(
-                        st_hit, pa.scalar(200, pa.int32()), pa.scalar(404, pa.int32())
-                    ),
-                }
+            # distributed single-pass join fetch (scale path): reached
+            # by the >cutoff branch always (broadcast needs a driver
+            # table — it is a small-frontier optimization) and by the
+            # hybrid branch with fetch_mode="join". Fetched parts,
+            # trace parts and counts are all task-written; link
+            # candidates stream into the seen filter in the same pass.
+            sched_src = (
+                rd.from_arrow(sched_tbl) if sched_tbl is not None else sched_ds
             )
-        else:
-            trace_tbl = pa.table(
-                {
-                    "round": pa.array([], pa.int32()),
-                    "host": pa.array([], pa.string()),
-                    "url": pa.array([], pa.string()),
-                    "discovery_seq": pa.array([], pa.int64()),
-                    "status": pa.array([], pa.int32()),
-                }
+            survivors, n_sched, n_fetched, n_errors = _join_fetch_round(
+                sched_src, pages_ds, rnd, fetched_dir, tdir, policy,
+                seed_hosts, pool, max(2, crawl.num_partitions),
             )
-        pq.write_table(trace_tbl, tdir / "trace.parquet", compression="snappy")
-        prof.mark("trace")
+            prof.mark("join_fetch")
 
         # 4. link discovery → fresh frontier (A8,A11,A6,A10,A25,A21).
         # Order: local dedup (inside _links_to_frontier) → seen filter
@@ -767,28 +861,8 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
         # over the small survivor set. The seen filter is idempotent
         # per round, so all within-round copies of a NEW key survive
         # to the global dedup, which picks the deterministic winner.
-        # In the single-pass broadcast path `survivors` is already
-        # materialized by the fetch pipeline; the join path reads the
-        # persisted links column back (column-pruned, html untouched).
-        if n_fetched > 0 and survivors is None:
-            parsed = rd.read_parquet(
-                str(fetched_dir), columns=["url", "links", "depth", "status"]
-            )
-            links = (
-                parsed.map_batches(
-                    lambda t: _explode_links(t.filter(pc.equal(t["status"], 200))),
-                    batch_format="pyarrow",
-                )
-                .map_batches(
-                    lambda t, _p=policy, _sh=seed_hosts: _links_to_frontier(t, _p, _sh),
-                    batch_format="pyarrow",
-                )
-            )
-            survivors = links.map_batches(
-                seen_filter_fn(pool.actors, pool.num_shards, rnd),
-                batch_format="pyarrow",
-            ).materialize()
-
+        # Both fetch paths materialize `survivors` (narrow rows) inside
+        # the single-pass fetch pipeline.
         fresh_tbl = None
         if survivors is not None:
             n_surv = survivors.count()

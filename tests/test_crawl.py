@@ -84,10 +84,19 @@ def test_crawl_deterministic_across_partitioning(ray_session, pages_tbl, tmp_pat
     base = CrawlConfig(seeds=SEEDS, budget_per_host=3, max_rounds=40, num_shards=1)
     alt = CrawlConfig(seeds=SEEDS, budget_per_host=3, max_rounds=40,
                       num_shards=7, num_partitions=3)
-    r1, _ = _run(tmp_path / "a", pages_tbl, base)
-    # schedule_cutoff_rows=0 forces the distributed threshold scheduler
-    r2, _ = _run(tmp_path / "b", pages_tbl, alt, schedule_cutoff_rows=0)
+    r1, p1 = _run(tmp_path / "a", pages_tbl, base)
+    # schedule_cutoff_rows=0 forces the fully distributed path: the
+    # threshold scheduler AND the left-outer join fetch with
+    # task-written fetched/trace/counts parts (nothing O(scheduled)
+    # on the driver)
+    r2, p2 = _run(tmp_path / "b", pages_tbl, alt, schedule_cutoff_rows=0)
     assert _trace_key(r1.trace()) == _trace_key(r2.trace())
+    assert p1.all_keys() == p2.all_keys()
+    # per-round counts (from the distributed counts parts) also agree
+    k = ("round", "scheduled", "fetched", "errors", "robots_blocked")
+    m1 = [{x: m[x] for x in k} for m in r1.metrics]
+    m2 = [{x: m[x] for x in k} for m in r2.metrics]
+    assert m1 == m2
 
 
 def test_crawl_join_fetch_mode(ray_session, pages_tbl, tmp_path):
