@@ -152,6 +152,38 @@ def _explode_links(t: pa.Table) -> pa.Table:
     )
 
 
+EXTRA_LINK_IDX_BASE = 1_000_000
+
+
+def _extra_links_table(t: pa.Table, policy) -> "pa.Table | None":
+    """A30 CollectAdditionalLinks: per fetched page, policy-yielded raw
+    urls become link-candidate rows (kind="extra", link_index offset by
+    EXTRA_LINK_IDX_BASE so html links win intra-round dedup ties).
+    They then flow through the normal rewrite→canonicalize→filter→seen
+    chain. t: hit rows with url/text/depth columns."""
+    if policy.collect_links is None:
+        return None
+    urls, parents, pdepths, lidx = [], [], [], []
+    for u, txt, d in zip(t["url"].to_pylist(), t["text"].to_pylist(),
+                         t["depth"].to_pylist()):
+        for i, extra in enumerate(policy.collect_links(u, txt)):
+            urls.append(extra)
+            parents.append(u)
+            pdepths.append(d)
+            lidx.append(EXTRA_LINK_IDX_BASE + i)
+    if not urls:
+        return None
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "kind": pa.array(["extra"] * len(urls), pa.string()),
+            "parent_url": pa.array(parents, pa.string()),
+            "parent_depth": pa.array(pdepths, pa.int32()),
+            "link_index": pa.array(lidx, pa.int32()),
+        }
+    )
+
+
 def _links_to_frontier(t: pa.Table, policy, seed_hosts: frozenset) -> pa.Table:
     """rewrite (A11) → canonicalize (A6) → policy filter (A10/A12/A28)
     → key (A7) → LOCALLY-deduped frontier-shaped rows.
@@ -188,6 +220,7 @@ def _links_to_frontier(t: pa.Table, policy, seed_hosts: frozenset) -> pa.Table:
         prev = winners.get(wk)
         if prev is None or ordtup < prev[0]:
             winners[wk] = (ordtup, (cu, k, h, d, seq, par, li))
+    prio_of = policy.priority_of
     host_hash_memo: dict[str, int] = {}
     rows: dict[str, list] = {k: [] for k in (
         "url", "url_key", "host", "host_hash", "depth", "priority",
@@ -202,7 +235,7 @@ def _links_to_frontier(t: pa.Table, policy, seed_hosts: frozenset) -> pa.Table:
         rows["host"].append(h)
         rows["host_hash"].append(hh)
         rows["depth"].append(d)
-        rows["priority"].append(0)
+        rows["priority"].append(prio_of(cu, d))
         rows["discovery_seq"].append(seq)
         rows["parent_url"].append(par)
         rows["link_index"].append(li)
@@ -372,6 +405,9 @@ def _join_fetch_round(sched_ds, pages_ds, rnd: int, fetched_dir, trace_dir,
         _write(counts, _td, f"counts-{tag}.parquet", "snappy")
         hits_full = full.filter(hit)
         links_t = _explode_links(hits_full.select(["url", "links", "depth"]))
+        extra = _extra_links_table(hits_full, _policy)
+        if extra is not None:
+            links_t = pa.concat_tables([links_t, extra.cast(links_t.schema)])
         return _links_to_frontier(links_t, _policy, _sh)
 
     survivors = (
@@ -442,7 +478,7 @@ def _seed_frontier(crawl: CrawlConfig) -> pa.Table:
         rows["host"].append(h)
         rows["host_hash"].append(host_hash64(h))
         rows["depth"].append(0)
-        rows["priority"].append(0)
+        rows["priority"].append(crawl.policy.priority_of(cu, 0))
         rows["discovery_seq"].append(discovery_seq(0, k))
         rows["parent_url"].append("")
     return pa.Table.from_pydict(rows, schema=FRONTIER)
@@ -475,7 +511,7 @@ def _seed_frontier_distributed(crawl: CrawlConfig) -> pa.Table:
             rows["host"].append(h)
             rows["host_hash"].append(hh)
             rows["depth"].append(0)
-            rows["priority"].append(0)
+            rows["priority"].append(crawl.policy.priority_of(cu, 0))
             rows["discovery_seq"].append(discovery_seq(0, k))
             rows["parent_url"].append("")
         return pa.Table.from_pydict(rows, schema=FRONTIER)
@@ -752,6 +788,11 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                     links_t = _explode_links(
                         full.select(["url", "links", "depth"])
                     )
+                    extra = _extra_links_table(full, _policy)
+                    if extra is not None:
+                        links_t = pa.concat_tables(
+                            [links_t, extra.cast(links_t.schema)]
+                        )
                     return _links_to_frontier(links_t, _policy, _sh)
 
                 fetched_dir.mkdir(parents=True, exist_ok=True)

@@ -17,11 +17,14 @@ from engine.kernels import (
     canonicalize_url,
     discovery_seq,
     extract_links,
+    extract_text,
     host_of,
     sha1_key,
 )
 from engine.policy import CrawlPolicy
 from engine.robots import RobotsTable
+
+EXTRA_LINK_IDX_BASE = 1_000_000  # keep in lockstep with engine.crawl
 
 
 @dataclass(frozen=True)
@@ -45,7 +48,8 @@ class SimResult:
     metrics: list[dict] = field(default_factory=list)
 
 
-def _frontier_row(url: str, depth: int, parent: str, link_index: int) -> dict:
+def _frontier_row(url: str, depth: int, parent: str, link_index: int,
+                  pol: CrawlPolicy = CrawlPolicy()) -> dict:
     cu = canonicalize_url(url)
     k = sha1_key(cu)
     return {
@@ -53,7 +57,7 @@ def _frontier_row(url: str, depth: int, parent: str, link_index: int) -> dict:
         "url_key": k,
         "host": host_of(cu),
         "depth": depth,
-        "priority": 0,
+        "priority": pol.priority_of(cu, depth),
         "discovery_seq": discovery_seq(depth, k),
         "parent_url": parent,
         "link_index": link_index,
@@ -70,7 +74,7 @@ def simulate(pages: dict[str, bytes], crawl: CrawlConfig) -> SimResult:
     seen: set[bytes] = set()
     frontier: list[dict] = []
     for s in crawl.seeds:
-        row = _frontier_row(s, 0, "", 0)
+        row = _frontier_row(s, 0, "", 0, pol)
         if row["url_key"] not in seen:
             seen.add(row["url_key"])
             res.seen_urls.add(row["url"])
@@ -119,13 +123,14 @@ def simulate(pages: dict[str, bytes], crawl: CrawlConfig) -> SimResult:
             )
             if html is None:
                 continue
-            for absu, kind, idx in extract_links(html, r["url"]):
+
+            def consider(absu: str, kind: str, idx: int, parent: dict) -> None:
                 u = pol.rewrite(absu) if pol.rewrite else absu
                 cu = canonicalize_url(u)
-                d = r["depth"] + 1
+                d = parent["depth"] + 1
                 if not pol.link_allowed(cu, kind, d, seed_hosts):
-                    continue
-                row = _frontier_row(cu, d, r["url"], idx)
+                    return
+                row = _frontier_row(cu, d, parent["url"], idx, pol)
                 prev = new_rows.get(row["url_key"])
                 # intra-round dedup: keep first by (seq, parent, link_index)
                 if prev is None or (
@@ -133,6 +138,15 @@ def simulate(pages: dict[str, bytes], crawl: CrawlConfig) -> SimResult:
                     < (prev["discovery_seq"], prev["parent_url"], prev["link_index"])
                 ):
                     new_rows[row["url_key"]] = row
+
+            for absu, kind, idx in extract_links(html, r["url"]):
+                consider(absu, kind, idx, r)
+            if pol.collect_links is not None:
+                # A30 CollectAdditionalLinks — same chain, kind="extra",
+                # idx offset keeps html links winning dedup ties
+                txt = extract_text(html)
+                for i, extra in enumerate(pol.collect_links(r["url"], txt)):
+                    consider(extra, "extra", EXTRA_LINK_IDX_BASE + i, r)
         fresh = []
         for k, row in new_rows.items():
             if k not in seen:

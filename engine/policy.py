@@ -10,6 +10,22 @@ Hook contract (all optional):
                                     BEFORE canonicalization.
   should_scrape(url:str, is_prerequisite:bool) -> bool | None
                                     A10 — None means "use built-ins".
+  priority(url:str, depth:int) -> int
+                                    north_star "priority frontier" —
+                                    evaluated on the CANONICAL url at
+                                    enqueue time; lower schedules
+                                    earlier within a host's per-round
+                                    budget (total order is
+                                    (priority, discovery_seq, url_key),
+                                    engine.frontier). Default 0.
+  collect_links(url:str, text:str) -> list[str]
+                                    A30 CollectAdditionalLinks — extra
+                                    raw urls yielded per fetched page
+                                    (beyond <a href> extraction), e.g.
+                                    pagination urls synthesized from
+                                    page content; they enter the same
+                                    rewrite→canonicalize→filter chain
+                                    with kind="extra".
 Built-ins: scheme allow-list, extension skip-list (A12), optional
 same-host(seed hosts) scoping, max depth (A28).
 """
@@ -39,6 +55,11 @@ class CrawlPolicy:
     allowed_schemes: tuple = ("http", "https")
     rewrite: Optional[Callable[[str], str]] = None
     should_scrape: Optional[Callable[[str, bool], Optional[bool]]] = None
+    priority: Optional[Callable[[str, int], int]] = None
+    collect_links: Optional[Callable[[str, str], list]] = None
+
+    def priority_of(self, url: str, depth: int) -> int:
+        return int(self.priority(url, depth)) if self.priority is not None else 0
 
     def link_allowed(self, url: str, kind: str, depth: int,
                      seed_hosts: frozenset) -> bool:
