@@ -153,6 +153,39 @@ def _explode_links(t: pa.Table) -> pa.Table:
 
 
 EXTRA_LINK_IDX_BASE = 1_000_000
+REDIRECT_LINK_IDX = 2_000_000
+REDIRECT_STATUSES = (301, 302, 303, 307, 308)
+
+
+def _redirect_links_table(t: pa.Table) -> "pa.Table | None":
+    """3xx handling (A13): a fetched row with a redirect status and a
+    location re-enqueues the TARGET through the normal
+    rewrite→canonicalize→filter→seen chain, at the SAME depth as the
+    redirected url (parent_depth = depth-1 compensates the +1 the link
+    chain applies). The seen filter guarantees the target is fetched at
+    most once even when links and redirects race to discover it.
+    t: rows with url/depth/status/location columns."""
+    if "location" not in t.column_names:
+        return None
+    is_redir = pc.and_(
+        pc.is_in(t["status"], value_set=pa.array(list(REDIRECT_STATUSES), pa.int32())),
+        pc.is_valid(t["location"]),
+    )
+    rt = t.filter(is_redir)
+    n = rt.num_rows
+    if n == 0:
+        return None
+    return pa.table(
+        {
+            "url": rt["location"].combine_chunks().cast(pa.string()),
+            "kind": pa.array(["redirect"] * n, pa.string()),
+            "parent_url": rt["url"],
+            "parent_depth": pc.cast(
+                pc.subtract(rt["depth"], pa.scalar(1, pa.int32())), pa.int32()
+            ),
+            "link_index": pa.array([REDIRECT_LINK_IDX] * n, pa.int32()),
+        }
+    )
 
 
 def _extra_links_table(t: pa.Table, policy) -> "pa.Table | None":
@@ -324,6 +357,47 @@ def _dedup_first(g: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False).cast(g.schema)
 
 
+def _scan_robots_pages(pages_ds) -> dict[str, str]:
+    """A18 discovery support: ONE pass over the pages table collecting
+    rows whose path is exactly /robots.txt — a tiny fraction of the
+    web, so the result is a small driver-held host→text dict (https
+    preferred over http deterministically). Run once per crawl, only
+    when CrawlConfig.discover_robots is set."""
+    from urllib.parse import urlsplit
+
+    def rob(t: pa.Table) -> pa.Table:
+        mask = pc.ends_with(t["url"], pattern="/robots.txt")
+        rt = t.filter(mask)
+        return pa.table({"url": rt["url"], "html": rt["html"]})
+
+    best: dict[str, tuple[str, str]] = {}
+    for r in pages_ds.map_batches(rob, batch_format="pyarrow").take_all():
+        parts = urlsplit(r["url"])
+        if parts.path != "/robots.txt" or parts.query:
+            continue
+        host = parts.netloc.lower()
+        scheme = parts.scheme
+        prev = best.get(host)
+        if prev is None or (scheme == "https" and prev[0] == "http"):
+            best[host] = (scheme, bytes(r["html"] or b"").decode("utf-8", "replace"))
+    return {h: t for h, (s, t) in best.items()}
+
+
+def _discover_new_robots(hosts: set, resolved: set, robots_pages: dict,
+                         robots: RobotsTable, discovered: dict) -> bool:
+    """Fold robots for first-seen hosts into the live RobotsTable;
+    returns True when anything changed (caller re-broadcasts)."""
+    changed = False
+    for h in sorted(hosts - resolved):
+        txt = robots_pages.get(h)
+        if txt is not None:
+            robots.add(h, txt)
+            discovered[h] = txt
+            changed = True
+    resolved |= hosts
+    return changed
+
+
 def _join_fetch_round(sched_ds, pages_ds, rnd: int, fetched_dir, trace_dir,
                       policy, seed_hosts, pool, nparts: int):
     """A13/A23 distributed fetch — the 10^10-frontier path where the
@@ -361,7 +435,14 @@ def _join_fetch_round(sched_ds, pages_ds, rnd: int, fetched_dir, trace_dir,
         hit = pc.is_valid(t["html"])
         t = extract_page_batch(t)  # null html -> text "", links []
         n = t.num_rows
-        status = pc.if_else(hit, pa.scalar(200, pa.int32()), pa.scalar(404, pa.int32()))
+        if "status" in t.column_names:
+            # pages carry per-page statuses (3xx rows); null -> 200
+            page_st = pc.fill_null(pc.cast(t["status"], pa.int32()), 200)
+            status = pc.if_else(hit, page_st, pa.scalar(404, pa.int32()))
+        else:
+            status = pc.if_else(
+                hit, pa.scalar(200, pa.int32()), pa.scalar(404, pa.int32())
+            )
         full = pa.table(
             {
                 "url": t["url"],
@@ -403,11 +484,17 @@ def _join_fetch_round(sched_ds, pages_ds, rnd: int, fetched_dir, trace_dir,
             {"n": pa.array([n], pa.int64()), "n_hit": pa.array([n_hit], pa.int64())}
         )
         _write(counts, _td, f"counts-{tag}.parquet", "snappy")
-        hits_full = full.filter(hit)
-        links_t = _explode_links(hits_full.select(["url", "links", "depth"]))
-        extra = _extra_links_table(hits_full, _policy)
-        if extra is not None:
-            links_t = pa.concat_tables([links_t, extra.cast(links_t.schema)])
+        ok = full.filter(pc.equal(full["status"], 200))
+        links_t = _explode_links(ok.select(["url", "links", "depth"]))
+        redir = None
+        if "location" in t.column_names:
+            redir = _redirect_links_table(
+                pa.table({"url": t["url"], "depth": t["depth"],
+                          "status": status, "location": t["location"]})
+            )
+        for ex in (_extra_links_table(ok, _policy), redir):
+            if ex is not None:
+                links_t = pa.concat_tables([links_t, ex.cast(links_t.schema)])
         return _links_to_frontier(links_t, _policy, _sh)
 
     survivors = (
@@ -543,6 +630,7 @@ def _config_hash(crawl: CrawlConfig) -> str:
             "budget": crawl.budget_per_host,
             "round_time": crawl.round_time_budget_ms,
             "robots": list(crawl.robots_raw),
+            "discover": crawl.discover_robots,
             "shards": crawl.num_shards,
             "mode": crawl.seen_mode,
         },
@@ -571,6 +659,11 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
     robots = RobotsTable(dict(crawl.robots_raw))
     robots_ref = ray.put(robots)
     delays = {h: robots.crawl_delay_ms(h) for h, _ in crawl.robots_raw}
+    resolved_hosts: set = set()
+    discovered_robots: dict[str, str] = {}
+    robots_pages: dict[str, str] = {}
+    if crawl.discover_robots:
+        robots_pages = _scan_robots_pages(pages_ds)
     policy = crawl.policy
     seed_hosts = frozenset(host_of(canonicalize_url(s)) for s in crawl.seeds)
     res = CrawlResult(out_dir=str(out))
@@ -599,6 +692,13 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
             for s in range(crawl.num_shards)
         ]
         pool.load_all(blobs)
+        for h, txt in man.get("discovered_robots", {}).items():
+            robots.add(h, txt)
+            discovered_robots[h] = txt
+        resolved_hosts = set(man.get("resolved_hosts", []))
+        if discovered_robots:
+            robots_ref = ray.put(robots)
+            delays = {h: robots.crawl_delay_ms(h) for h in robots.rules}
         frontier_tbl = None  # read from parquet below
         res.metrics = man.get("metrics", [])
         res.total_scheduled = man.get("total_scheduled", 0)
@@ -641,6 +741,12 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
             ftbl = pa.concat_tables(
                 [pq.read_table(p) for p in sorted(fdir.glob("*.parquet"))]
             )
+            if crawl.discover_robots:
+                hosts = set(pc.unique(ftbl["host"]).to_pylist())
+                if _discover_new_robots(hosts, resolved_hosts, robots_pages,
+                                        robots, discovered_robots):
+                    robots_ref = ray.put(robots)
+                    delays = {h: robots.crawl_delay_ms(h) for h in robots.rules}
             sched_tbl, deferred_tbl, robots_blocked = _schedule_local(
                 ftbl, robots, crawl.budget_per_host, crawl.round_time_budget_ms
             )
@@ -655,6 +761,12 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
             deferred_tbl = None
             sched_tbl = None
             frontier_ds = rd.read_parquet(str(fdir))
+            if crawl.discover_robots:
+                hosts = set(frontier_ds.unique("host"))
+                if _discover_new_robots(hosts, resolved_hosts, robots_pages,
+                                        robots, discovered_robots):
+                    robots_ref = ray.put(robots)
+                    delays = {h: robots.crawl_delay_ms(h) for h in robots.rules}
             if robots.rules:
                 gated = frontier_ds.map_batches(
                     robots_gate_fn(robots_ref), batch_format="pyarrow"
@@ -750,7 +862,17 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                         )
                     j = j.drop_columns(["k64"])
                     n = j.num_rows
-                    j = j.append_column("status", pa.array(np.full(n, 200, np.int32)))
+                    if "status" in j.column_names:
+                        # pages table carries per-page statuses (3xx
+                        # redirect rows etc.) — null means plain 200
+                        st = pc.fill_null(pc.cast(j["status"], pa.int32()), 200)
+                        j = j.set_column(
+                            j.column_names.index("status"), "status", st
+                        )
+                    else:
+                        j = j.append_column(
+                            "status", pa.array(np.full(n, 200, np.int32))
+                        )
                     j = j.append_column(
                         "fetch_round", pa.array(np.full(n, _rnd, np.int32))
                     )
@@ -785,14 +907,21 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                         tmp = pathlib.Path(_fdir) / (fname + ".tmp")
                         pq.write_table(full, tmp, compression="zstd")
                         _os.replace(tmp, pathlib.Path(_fdir) / fname)
+                    # html links / collect_links only from 200s; 3xx
+                    # rows contribute exactly their location link
+                    ok = full.filter(pc.equal(full["status"], 200))
                     links_t = _explode_links(
-                        full.select(["url", "links", "depth"])
+                        ok.select(["url", "links", "depth"])
                     )
-                    extra = _extra_links_table(full, _policy)
-                    if extra is not None:
-                        links_t = pa.concat_tables(
-                            [links_t, extra.cast(links_t.schema)]
-                        )
+                    for ex in (
+                        _extra_links_table(ok, _policy),
+                        _redirect_links_table(t) if "location" in t.column_names
+                        else None,
+                    ):
+                        if ex is not None:
+                            links_t = pa.concat_tables(
+                                [links_t, ex.cast(links_t.schema)]
+                            )
                     return _links_to_frontier(links_t, _policy, _sh)
 
                 fetched_dir.mkdir(parents=True, exist_ok=True)
@@ -811,14 +940,19 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                 from concurrent.futures import ThreadPoolExecutor
 
                 def _read_urls(p):
-                    return pq.read_table(p, columns=["url"])["url"]
+                    return pq.read_table(p, columns=["url", "status"])
 
                 with ThreadPoolExecutor(max_workers=8) as ex:
                     hit_parts = list(ex.map(_read_urls, fetched_dir.glob("*.parquet")))
-                hit_arr = (
-                    pa.concat_arrays([c for part in hit_parts for c in part.chunks])
-                    if hit_parts else pa.array([], pa.string())
+                hit_tbl = (
+                    pa.concat_tables(hit_parts).combine_chunks() if hit_parts
+                    else pa.table({"url": pa.array([], pa.string()),
+                                   "status": pa.array([], pa.int32())})
                 )
+                hit_arr = hit_tbl["url"].combine_chunks()
+                if isinstance(hit_arr, pa.ChunkedArray):
+                    hit_arr = (hit_arr.chunk(0) if hit_arr.num_chunks
+                               else pa.array([], pa.string()))
                 n_fetched = len(hit_arr)
                 # 404s: scheduled urls with no page (vectorized anti via is_in)
                 hit_mask = pc.is_in(sched_tbl["url"], value_set=hit_arr)
@@ -846,6 +980,8 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                 fetched_dir.mkdir(parents=True, exist_ok=True)
                 n_fetched = n_errors = 0
                 hit_arr = pa.array([], pa.string())
+                hit_tbl = pa.table({"url": pa.array([], pa.string()),
+                                    "status": pa.array([], pa.int32())})
 
             # trace (FIXTURES.md §4): scheduled rows, (seq, url) order.
             # Driver-written here (bounded by schedule_cutoff_rows);
@@ -856,16 +992,20 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                 # trace order is defined by (round, discovery_seq, url),
                 # not file order) so no O(n log n) driver sort per round
                 st = sched_tbl
-                st_hit = pc.is_in(st["url"], value_set=hit_arr)
+                # per-url status from the written parts (pages may
+                # carry 3xx statuses); urls absent from any part = 404
+                idx = pc.index_in(st["url"], value_set=hit_arr)
+                st_status = pc.fill_null(
+                    pc.take(hit_tbl["status"].combine_chunks(), idx),
+                    pa.scalar(404, pa.int32()),
+                )
                 trace_tbl = pa.table(
                     {
                         "round": pa.array(np.full(n_sched, rnd, np.int32)),
                         "host": st["host"],
                         "url": st["url"],
                         "discovery_seq": st["discovery_seq"],
-                        "status": pc.if_else(
-                            st_hit, pa.scalar(200, pa.int32()), pa.scalar(404, pa.int32())
-                        ),
+                        "status": pc.cast(st_status, pa.int32()),
                     }
                 )
             else:
@@ -890,10 +1030,18 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
             sched_src = (
                 rd.from_arrow(sched_tbl) if sched_tbl is not None else sched_ds
             )
-            survivors, n_sched, n_fetched, n_errors = _join_fetch_round(
-                sched_src, pages_ds, rnd, fetched_dir, tdir, policy,
-                seed_hosts, pool, max(2, crawl.num_partitions),
-            )
+            if gated_count == 0 or (sched_tbl is not None and sched_tbl.num_rows == 0):
+                # a fully-empty join side loses its schema in the hash
+                # shuffle (ArrowInvalid on FieldRef url) — and there is
+                # nothing to fetch anyway
+                fetched_dir.mkdir(parents=True, exist_ok=True)
+                tdir.mkdir(parents=True, exist_ok=True)
+                n_sched = n_fetched = n_errors = 0
+            else:
+                survivors, n_sched, n_fetched, n_errors = _join_fetch_round(
+                    sched_src, pages_ds, rnd, fetched_dir, tdir, policy,
+                    seed_hosts, pool, max(2, crawl.num_partitions),
+                )
             prof.mark("join_fetch")
 
         # 4. link discovery → fresh frontier (A8,A11,A6,A10,A25,A21).
@@ -989,19 +1137,19 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
         pq.write_table(
             pa.Table.from_pylist([res.metrics[-1]]), ldir / "crawl_log.parquet"
         )
-        manifest_path.write_text(
-            json.dumps(
-                {
-                    "next_round": rnd + 1,
-                    "config_hash": _config_hash(crawl),
-                    "metrics": res.metrics,
-                    "total_scheduled": res.total_scheduled,
-                    "total_fetched": res.total_fetched,
-                    "total_errors": res.total_errors,
-                },
-                indent=1,
-            )
-        )
+        man_payload = {
+            "next_round": rnd + 1,
+            "config_hash": _config_hash(crawl),
+            "metrics": res.metrics,
+            "total_scheduled": res.total_scheduled,
+            "total_fetched": res.total_fetched,
+            "total_errors": res.total_errors,
+        }
+        if crawl.discover_robots:
+            # robots learned mid-crawl are part of the resumable state
+            man_payload["discovered_robots"] = discovered_robots
+            man_payload["resolved_hosts"] = sorted(resolved_hosts)
+        manifest_path.write_text(json.dumps(man_payload, indent=1))
         if n_next == 0:
             break
     return res

@@ -66,17 +66,21 @@ class FetcherActor:
     stages are shared with the hermetic path.
     """
 
+    REDIRECT_STATUSES = (301, 302, 303, 307, 308)
+
     def __init__(self, transport=None, retry: RetryPolicy | None = None,
                  user_agent: str = "ray-crawl-engine/1.0", fetch_round: int = 0,
-                 clock=None):
+                 clock=None, max_redirects: int = 5):
         self.transport = transport or _default_transport
         self.retry = retry or RetryPolicy()
         self.jar = CookieJar()
         self.user_agent = user_agent
         self.fetch_round = fetch_round
         self.clock = clock or (lambda: datetime.now(timezone.utc).replace(tzinfo=None))
+        self.max_redirects = max_redirects
 
-    def _fetch_one(self, url: str, host: str) -> tuple[int, bytes]:
+    def _attempt(self, url: str, host: str) -> tuple[int, dict, bytes]:
+        """One url with retry/backoff; returns (status, headers, body)."""
         headers = {"User-Agent": self.user_agent}
         ck = self.jar.header_for(host)
         if ck:
@@ -93,10 +97,34 @@ class FetcherActor:
                 if k.lower() == "set-cookie":
                     self.jar.set_from_header(host, v)
             if status not in self.retry.retry_statuses:
-                return status, body
+                return status, resp_headers, body
             last_status = status
             time.sleep(self.retry.backoff_base_s * (2 ** attempt))
-        return last_status, b""
+        return last_status, {}, b""
+
+    def _fetch_one(self, url: str, host: str) -> tuple[int, bytes]:
+        """Follow up to max_redirects Location hops (Shaman.Http
+        follows redirects within a fetch); cookies are applied and
+        collected per hop against the hop's host. Returns the FINAL
+        (status, body) — if the chain exceeds max_redirects the last
+        3xx status is returned with an empty body."""
+        from urllib.parse import urljoin, urlsplit
+
+        cur, cur_host = url, host
+        status, body = 0, b""
+        for _hop in range(self.max_redirects + 1):
+            status, resp_headers, body = self._attempt(cur, cur_host)
+            loc = None
+            if status in self.REDIRECT_STATUSES:
+                for k, v in resp_headers.items():
+                    if k.lower() == "location":
+                        loc = v
+                        break
+            if loc is None:
+                return status, body
+            cur = urljoin(cur, loc)
+            cur_host = urlsplit(cur).netloc or cur_host
+        return status, b""
 
     def __call__(self, t: pa.Table) -> pa.Table:
         urls = t["url"].to_pylist()

@@ -24,7 +24,8 @@ from engine.kernels import (
 from engine.policy import CrawlPolicy
 from engine.robots import RobotsTable
 
-EXTRA_LINK_IDX_BASE = 1_000_000  # keep in lockstep with engine.crawl
+EXTRA_LINK_IDX_BASE = 1_000_000   # keep in lockstep with engine.crawl
+REDIRECT_LINK_IDX = 2_000_000     # keep in lockstep with engine.crawl
 
 
 @dataclass(frozen=True)
@@ -38,6 +39,10 @@ class CrawlConfig:
     num_shards: int = 4     # engine-side seen sharding (no semantic effect)
     seen_mode: str = "exact"
     num_partitions: int = 8
+    # A18: fetch /robots.txt from the crawled web itself when a host
+    # first appears in the frontier (out-of-band, unbudgeted, effective
+    # the same round), in addition to the config-injected robots_raw
+    discover_robots: bool = False
 
 
 @dataclass
@@ -64,8 +69,13 @@ def _frontier_row(url: str, depth: int, parent: str, link_index: int,
     }
 
 
-def simulate(pages: dict[str, bytes], crawl: CrawlConfig) -> SimResult:
-    """pages: canonical url -> html bytes (the hermetic web)."""
+def simulate(pages: dict[str, bytes], crawl: CrawlConfig,
+             redirects: dict[str, str] | None = None) -> SimResult:
+    """pages: canonical url -> html bytes (the hermetic web).
+    redirects: canonical url -> raw target; such a url fetches as
+    status 301 with no content links — only its target is enqueued, at
+    the SAME depth (engine.crawl._redirect_links_table semantics)."""
+    redirects = redirects or {}
     robots = RobotsTable(dict(crawl.robots_raw))
     pol = crawl.policy
     seed_hosts = frozenset(host_of(canonicalize_url(s)) for s in crawl.seeds)
@@ -80,10 +90,21 @@ def simulate(pages: dict[str, bytes], crawl: CrawlConfig) -> SimResult:
             res.seen_urls.add(row["url"])
             frontier.append(row)
 
+    resolved_hosts: set[str] = set()
     for rnd in range(crawl.max_rounds):
         if not frontier:
             break
         res.rounds = rnd + 1
+        if crawl.discover_robots:
+            # A18: when a host first appears, fetch its /robots.txt
+            # from the web itself (https preferred), effective now
+            hosts = {r["host"] for r in frontier}
+            for h in sorted(hosts - resolved_hosts):
+                for cand in (f"https://{h}/robots.txt", f"http://{h}/robots.txt"):
+                    if cand in pages:
+                        robots.add(h, pages[cand].decode("utf-8", "replace"))
+                        break
+            resolved_hosts |= hosts
         # robots gate (disallowed dropped permanently)
         allowed = [r for r in frontier if robots.allowed(r["host"], r["url"])]
         robots_blocked = len(frontier) - len(allowed)
@@ -107,7 +128,13 @@ def simulate(pages: dict[str, bytes], crawl: CrawlConfig) -> SimResult:
         fetched = errors = 0
         for r in scheduled:
             html = pages.get(r["url"])
-            status = 200 if html is not None else 404
+            target = redirects.get(r["url"])
+            if html is None:
+                status = 404
+            elif target is not None:
+                status = 301
+            else:
+                status = 200
             if html is not None:
                 fetched += 1
             else:
@@ -139,6 +166,12 @@ def simulate(pages: dict[str, bytes], crawl: CrawlConfig) -> SimResult:
                 ):
                     new_rows[row["url_key"]] = row
 
+            if target is not None:
+                # 3xx: only the location is enqueued, at the SAME depth
+                # (parent_depth-1 shim compensates the chain's +1)
+                consider(target, "redirect", REDIRECT_LINK_IDX,
+                         {"depth": r["depth"] - 1, "url": r["url"]})
+                continue
             for absu, kind, idx in extract_links(html, r["url"]):
                 consider(absu, kind, idx, r)
             if pol.collect_links is not None:

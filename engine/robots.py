@@ -101,7 +101,14 @@ class RobotsTable:
 
     def __init__(self, raw: dict[str, str] | None = None, agent: str = "*"):
         self.raw = dict(raw or {})
+        self.agent = agent
         self.rules = {h: RobotsRules.from_text(t, agent) for h, t in self.raw.items()}
+
+    def add(self, host: str, text: str) -> None:
+        """Fold in a robots.txt discovered mid-crawl (A18: the cache
+        grows as hosts are first encountered)."""
+        self.raw[host] = text
+        self.rules[host] = RobotsRules.from_text(text, self.agent)
 
     def allowed(self, host: str, url: str) -> bool:
         r = self.rules.get(host)

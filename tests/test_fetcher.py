@@ -77,3 +77,39 @@ def test_registry():
 
     register_batch_kernel("custom_site_extractor", my_kernel)
     assert get_batch_kernel("custom_site_extractor") is my_kernel
+
+
+def test_fetcher_follows_redirects():
+    calls = []
+
+    def transport(url, headers):
+        calls.append(url)
+        if url == "https://a.example/old":
+            return 301, {"Location": "/mid"}, b""
+        if url == "https://a.example/mid":
+            return 302, {"Location": "https://b.example/new"}, b""
+        if url == "https://b.example/new":
+            return 200, {"Set-Cookie": "t=1"}, b"<p>final</p>"
+        return 404, {}, b""
+
+    f = FetcherActor(transport=transport, clock=lambda: datetime(2024, 1, 1))
+    out = f(_batch(["https://a.example/old"]))
+    # final hop's status/body; relative AND absolute Locations resolved
+    assert out["status"].to_pylist() == [200]
+    assert out["html"].to_pylist() == [b"<p>final</p>"]
+    assert calls == ["https://a.example/old", "https://a.example/mid",
+                     "https://b.example/new"]
+    # cookie collected against the FINAL hop's host
+    assert f.jar.header_for("b.example") == "t=1"
+
+
+def test_fetcher_redirect_loop_capped():
+    def transport(url, headers):
+        return 301, {"Location": url}, b""
+
+    f = FetcherActor(transport=transport, max_redirects=3,
+                     clock=lambda: datetime(2024, 1, 1))
+    out = f(_batch(["https://a.example/loop"]))
+    # chain exceeded: last 3xx status surfaces with an empty body
+    assert out["status"].to_pylist() == [301]
+    assert out["html"].to_pylist() == [b""]

@@ -166,3 +166,114 @@ def test_forum_priority_reorders_schedule(ray_session, forum, tmp_path):
     # threads (both compete for budget_per_host=2 slots)
     r1_p = [r["url"] for r in t_p if r["round"] == 1]
     assert f"{HOST}/list/1" in r1_p
+
+
+# ---------------------------------------------------------------------------
+# Redirect semantics (A13 3xx): engine == simulator, target fetched once
+# ---------------------------------------------------------------------------
+
+def _redirect_site():
+    """Seed links to /old (301 -> /new) AND directly to /new: the
+    target is discovered twice in one round and must be fetched exactly
+    once. /lone (301 -> /island) is the only path to /island."""
+    root = _html("root", "start", ["/old", "/new", "/lone"])
+    new = _html("new", "destination", [])
+    island = _html("island", "only via redirect", [])
+    rows = [
+        {"url": f"{HOST}/", "html": root, "status": 200, "location": None},
+        {"url": f"{HOST}/old", "html": b"", "status": 301,
+         "location": f"{HOST}/new"},
+        {"url": f"{HOST}/lone", "html": b"", "status": 301,
+         "location": f"{HOST}/island"},
+        {"url": f"{HOST}/new", "html": new, "status": 200, "location": None},
+        {"url": f"{HOST}/island", "html": island, "status": 200, "location": None},
+    ]
+    schema = pa.schema(list(PAGES) + [("status", pa.int32()),
+                                      ("location", pa.string())])
+    tbl = pa.Table.from_pylist(
+        [{"url": r["url"], "warc_ts": datetime(2024, 1, 1), "html": r["html"],
+          "text": extract_text(r["html"]), "lang": "en",
+          "status": r["status"], "location": r["location"]} for r in rows],
+        schema=schema,
+    )
+    pages = {r["url"]: r["html"] for r in rows}
+    redirects = {r["url"]: r["location"] for r in rows if r["location"]}
+    return tbl, pages, redirects
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "join"])
+def test_redirects_match_oracle(ray_session, tmp_path, mode):
+    tbl, pages, redirects = _redirect_site()
+    crawl = CrawlConfig(seeds=(f"{HOST}/",), budget_per_host=8, max_rounds=10)
+    sim = simulate(pages, crawl, redirects=redirects)
+    res, _ = _run(tmp_path / mode, tbl, crawl, fetch_mode=mode)
+    assert _trace_key(res.trace()) == _trace_key(sim.trace)
+    trace = res.trace()
+    by_url = {}
+    for r in trace:
+        by_url.setdefault(r["url"], []).append(r["status"])
+    # redirected urls traced with their 3xx status
+    assert by_url[f"{HOST}/old"] == [301]
+    assert by_url[f"{HOST}/lone"] == [301]
+    # target reachable twice (link + redirect) fetched exactly once
+    assert by_url[f"{HOST}/new"] == [200]
+    # target reachable ONLY via redirect is crawled
+    assert by_url[f"{HOST}/island"] == [200]
+
+
+# ---------------------------------------------------------------------------
+# Robots discovered from the crawl itself (A18 discover_robots)
+# ---------------------------------------------------------------------------
+
+ROB_A = "https://site-a.example"
+ROB_B = "https://site-b.example"
+
+
+def _robots_site():
+    a_root = _html("a", "seed", ["/next", f"{ROB_B}/open", f"{ROB_B}/secret"])
+    a_next = _html("a2", "more", [])
+    b_open = _html("open", "public", [f"{ROB_B}/secret2"])
+    rows = [
+        (f"{ROB_A}/", a_root),
+        (f"{ROB_A}/next", a_next),
+        (f"{ROB_B}/open", b_open),
+        (f"{ROB_B}/secret", _html("s", "hidden", [])),
+        (f"{ROB_B}/secret2", _html("s2", "hidden2", [])),
+        (f"{ROB_B}/robots.txt", b"User-agent: *\nDisallow: /secret\n"),
+    ]
+    return _pages_tbl(rows), dict(rows)
+
+
+@pytest.mark.parametrize("cutoff", [2_000_000, 0])
+def test_robots_discovered_from_crawl(ray_session, tmp_path, cutoff):
+    """host-b first appears in the round-1 frontier; its robots.txt is
+    fetched from the pages table at round-1 start (out-of-band,
+    unbudgeted) and gates that same round — in the hybrid AND the
+    fully distributed scheduler path, matching the simulator."""
+    tbl, pages = _robots_site()
+    crawl = CrawlConfig(seeds=(f"{ROB_A}/",), budget_per_host=4, max_rounds=8,
+                        discover_robots=True)
+    sim = simulate(pages, crawl)
+    res, _ = _run(tmp_path / str(cutoff), tbl, crawl, schedule_cutoff_rows=cutoff)
+    assert _trace_key(res.trace()) == _trace_key(sim.trace)
+    urls = {r["url"] for r in res.trace()}
+    assert f"{ROB_B}/open" in urls
+    assert f"{ROB_B}/secret" not in urls and f"{ROB_B}/secret2" not in urls
+    assert f"{ROB_B}/robots.txt" not in urls  # out-of-band, never scheduled
+    assert any(m["robots_blocked"] > 0 for m in res.metrics)
+
+
+def test_robots_discovery_survives_resume(ray_session, tmp_path):
+    """Discovered robots are checkpointed state: a resume after the
+    discovery round must keep blocking without re-discovery."""
+    tbl, pages = _robots_site()
+    full_c = CrawlConfig(seeds=(f"{ROB_A}/",), budget_per_host=4, max_rounds=8,
+                         discover_robots=True)
+    res_full, _ = _run(tmp_path / "full", tbl, full_c)
+    out = str(tmp_path / "part" / "crawl")
+    part_c = CrawlConfig(seeds=(f"{ROB_A}/",), budget_per_host=4, max_rounds=2,
+                         discover_robots=True)
+    run_crawl(tbl, part_c, out, pool=SeenPool(part_c.num_shards))
+    res2 = run_crawl(tbl, full_c, out, pool=SeenPool(full_c.num_shards),
+                     resume=True)
+    assert _trace_key(res2.trace()) == _trace_key(res_full.trace())
