@@ -253,7 +253,7 @@ def _links_to_frontier(t: pa.Table, policy, seed_hosts: frozenset) -> pa.Table:
         prev = winners.get(wk)
         if prev is None or ordtup < prev[0]:
             winners[wk] = (ordtup, (cu, k, h, d, seq, par, li))
-    prio_of = policy.priority_of
+    prio_fn = policy.priority  # None for the default-0 fast path
     host_hash_memo: dict[str, int] = {}
     rows: dict[str, list] = {k: [] for k in (
         "url", "url_key", "host", "host_hash", "depth", "priority",
@@ -268,7 +268,7 @@ def _links_to_frontier(t: pa.Table, policy, seed_hosts: frozenset) -> pa.Table:
         rows["host"].append(h)
         rows["host_hash"].append(hh)
         rows["depth"].append(d)
-        rows["priority"].append(prio_of(cu, d))
+        rows["priority"].append(int(prio_fn(cu, d)) if prio_fn is not None else 0)
         rows["discovery_seq"].append(seq)
         rows["parent_url"].append(par)
         rows["link_index"].append(li)
@@ -484,7 +484,11 @@ def _join_fetch_round(sched_ds, pages_ds, rnd: int, fetched_dir, trace_dir,
             {"n": pa.array([n], pa.int64()), "n_hit": pa.array([n_hit], pa.int64())}
         )
         _write(counts, _td, f"counts-{tag}.parquet", "snappy")
-        ok = full.filter(pc.equal(full["status"], 200))
+        st_col = full["status"]
+        if pc.min(st_col).as_py() == 200 and pc.max(st_col).as_py() == 200:
+            ok = full  # all-200 fast path: no html-buffer copy
+        else:
+            ok = full.filter(pc.equal(st_col, 200))
         links_t = _explode_links(ok.select(["url", "links", "depth"]))
         redir = None
         if "location" in t.column_names:
@@ -908,8 +912,14 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                         pq.write_table(full, tmp, compression="zstd")
                         _os.replace(tmp, pathlib.Path(_fdir) / fname)
                     # html links / collect_links only from 200s; 3xx
-                    # rows contribute exactly their location link
-                    ok = full.filter(pc.equal(full["status"], 200))
+                    # rows contribute exactly their location link.
+                    # Fast path: all-200 batches (the common case) skip
+                    # the filter — it would copy html buffers.
+                    st_col = full["status"]
+                    if pc.min(st_col).as_py() == 200 and pc.max(st_col).as_py() == 200:
+                        ok = full
+                    else:
+                        ok = full.filter(pc.equal(st_col, 200))
                     links_t = _explode_links(
                         ok.select(["url", "links", "depth"])
                     )

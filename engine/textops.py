@@ -290,28 +290,59 @@ _MAX_LSH_BUCKET = 512
 
 
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one (band, band_hash) bucket. Buckets up
+    """Candidate pairs within one COARSE lsh_bucket (hash-spread group
+    of many (band, band_hash) buckets — a groupby on the raw bucket key
+    pays per-group overhead on ~n_docs×bands mostly-singleton groups).
+    Singleton (band, band_hash) buckets are dropped VECTORIZED; the
+    python pair loop only ever sees real collision groups. Buckets up
     to _MAX_LSH_BUCKET ids emit all pairs; beyond that (boilerplate
     clusters — 10^5 identical docs would emit 5×10^9 pairs) emit star
     pairs (min_id, other) only, which preserves duplicate-cluster
     connectivity for keep/drop decisions at linear cost."""
-    ids = sorted(g["doc_id"].unique())
+    g = g[g.duplicated(["band", "band_hash"], keep=False)]
     a, b = [], []
-    if len(ids) > _MAX_LSH_BUCKET:
-        m = ids[0]
-        for x in ids[1:]:
-            a.append(m)
-            b.append(x)
-    else:
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-    return pd.DataFrame({"doc_a": a, "doc_b": b})
+    for _, grp in g.groupby(["band", "band_hash"], sort=False):
+        ids = sorted(grp["doc_id"].unique())
+        if len(ids) > _MAX_LSH_BUCKET:
+            m = ids[0]
+            for x in ids[1:]:
+                a.append(m)
+                b.append(x)
+        else:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i])
+                    b.append(ids[j])
+    return pd.DataFrame(
+        {"doc_a": pd.array(a, dtype="int64"), "doc_b": pd.array(b, dtype="int64")}
+    )
+
+
+_N_LSH_COARSE = 512
+
+
+def _lsh_candidate_pairs(bands):
+    """bands (band, band_hash, doc_id) → distinct-ish candidate pairs
+    via a COARSE groupby (band_hash % _N_LSH_COARSE): ~512 groups
+    regardless of corpus size instead of one group per distinct
+    (band, band_hash)."""
+
+    def coarse(t: pa.Table) -> pa.Table:
+        b = t["band_hash"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "lsh_bucket", pa.array((b % _N_LSH_COARSE).astype(np.int32))
+        )
+
+    return (
+        bands.map_batches(coarse, batch_format="pyarrow")
+        .groupby("lsh_bucket")
+        .map_groups(_bucket_pairs, batch_format="pandas")
+    )
 
 
 def _verify_pairs_copart(pairs_ds, docs, verify_fn, threshold: float,
-                         num_partitions: int = 8, num_pair_buckets: int = 64):
+                         num_partitions: int | None = None,
+                         num_pair_buckets: int = 64):
     """Verify candidate pairs against the corpus WITHOUT broadcasting
     it: explode each (doc_a, doc_b) into two (pair, doc_id) rows, hash
     co-partition join texts on doc_id (Dataset.join — both sides stay
@@ -322,6 +353,11 @@ def _verify_pairs_copart(pairs_ds, docs, verify_fn, threshold: float,
     candidates are deduped locally per batch and globally per pair
     bucket (same pair always hashes to the same bucket)."""
     from engine.joins import _mix64
+
+    if num_partitions is None:
+        # join partition count scales with the cluster (a constant
+        # would serialize the text shuffle on a big cluster)
+        num_partitions = max(4, _conc()[1] // 4)
 
     def explode(t: pa.Table) -> pa.Table:
         a = t["doc_a"].combine_chunks()
@@ -388,9 +424,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7):
     table, the pair/text join, and the pair-bucket groupby."""
     docs = _docs(sf_dir, ["doc_id", "text"])
     bands = docs.map_batches(_minhash_bands, batch_format="pyarrow")
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
+    pairs = _lsh_candidate_pairs(bands)
     return _verify_pairs_copart(pairs, docs, _word_jaccard, threshold)
 
 
@@ -430,40 +464,69 @@ def dedup_simhash(sf_dir: str):
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # Buckets above _MAX_LSH_BUCKET verify star pairs only (min id
+        # One COARSE lsh bucket (many (band, band_val) groups);
+        # singletons dropped vectorized. Within a real collision group,
+        # buckets above _MAX_LSH_BUCKET verify star pairs only (min id
         # vs rest) — linear, preserves cluster connectivity; the full
         # scale refinement is two-level blocking (re-block an oversized
         # 16-bit bucket on a second band) which keeps recall exact.
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        hs = g["simhash"].tolist()
+        g = g.drop_duplicates(["band", "band_val", "doc_id"])
+        g = g[g.duplicated(["band", "band_val"], keep=False)]
         a, b, d = [], [], []
-        if len(ids) > _MAX_LSH_BUCKET:
-            for j in range(1, len(ids)):
-                ham = bin(hs[0] ^ hs[j]).count("1")
-                if ham <= 3:
-                    a.append(ids[0])
-                    b.append(ids[j])
-                    d.append(ham)
-        else:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    ham = bin(hs[i] ^ hs[j]).count("1")
+        for _, grp in g.groupby(["band", "band_val"], sort=False):
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].tolist()
+            hs = grp["simhash"].tolist()
+            if len(ids) > _MAX_LSH_BUCKET:
+                for j in range(1, len(ids)):
+                    ham = bin(hs[0] ^ hs[j]).count("1")
                     if ham <= 3:
-                        a.append(ids[i])
+                        a.append(ids[0])
                         b.append(ids[j])
                         d.append(ham)
-        return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": d})
+            else:
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        ham = bin(hs[i] ^ hs[j]).count("1")
+                        if ham <= 3:
+                            a.append(ids[i])
+                            b.append(ids[j])
+                            d.append(ham)
+        return pd.DataFrame(
+            {"doc_a": pd.array(a, dtype="int64"),
+             "doc_b": pd.array(b, dtype="int64"),
+             "hamming": pd.array(d, dtype="int64")}
+        )
 
-    uniq = (
+    def coarse(t: pa.Table) -> pa.Table:
+        b = t["band_val"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "lsh_bucket", pa.array((b % _N_LSH_COARSE).astype(np.int32))
+        )
+
+    from engine.joins import _mix64
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        pb = _mix64((a * np.int64(1000003) ^ b).view(np.uint64)) % np.uint64(64)
+        return t.append_column("pair_bucket", pa.array(pb.astype(np.int32)))
+
+    return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(sim, batch_format="pyarrow")
-        .groupby(["band", "band_val"])
+        .map_batches(coarse, batch_format="pyarrow")
+        .groupby("lsh_bucket")
         .map_groups(pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pair_bucket")  # global pair dedup, coarse buckets
+        .map_groups(
+            lambda g: g.drop_duplicates(["doc_a", "doc_b"]).drop(
+                columns=["pair_bucket"]
+            ),
+            batch_format="pandas",
+        )
     )
-    return uniq
 
 
 def _char_jaccard(sa: str, sb: str, k: int = 5) -> float:
@@ -478,9 +541,7 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5):
     (no corpus broadcast). Rows-only."""
     docs = _docs(sf_dir, ["doc_id", "text"])
     bands = docs.map_batches(_minhash_bands, batch_format="pyarrow")
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
+    pairs = _lsh_candidate_pairs(bands)
     return _verify_pairs_copart(pairs, docs, _char_jaccard, threshold)
 
 

@@ -35,32 +35,95 @@ def _warc_ts(ts) -> str:
     return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
+def record_id(url: str, ts, kind: str = "") -> str:
+    return hashlib.sha1(f"{kind}|{url}|{_warc_ts(ts)}".encode()).hexdigest()
+
+
+def payload_digest(payload: bytes) -> str:
+    """WARC-Payload-Digest value per spec: sha1, base32 (RFC 4648)."""
+    import base64
+
+    return "sha1:" + base64.b32encode(hashlib.sha1(payload).digest()).decode()
+
+
 def format_record(url: str, ts, payload: bytes,
-                  content_type: str = "text/html") -> bytes:
-    """One WARC/1.0 'resource' record (uncompressed bytes)."""
-    rid = hashlib.sha1(f"{url}|{_warc_ts(ts)}".encode()).hexdigest()
-    headers = (
-        "WARC/1.0\r\n"
-        "WARC-Type: resource\r\n"
-        f"WARC-Record-ID: <urn:sha1:{rid}>\r\n"
-        f"WARC-Date: {_warc_ts(ts)}\r\n"
-        f"WARC-Target-URI: {url}\r\n"
-        f"Content-Type: {content_type}\r\n"
-        f"Content-Length: {len(payload)}\r\n"
-        "\r\n"
+                  content_type: str = "text/html",
+                  record_type: str = "resource",
+                  extra_headers: dict | None = None) -> bytes:
+    """One WARC/1.0 record (uncompressed bytes). record_type
+    'resource' (payload = raw content) or 'response'/'request'
+    (payload = full HTTP message, Content-Type per spec)."""
+    rid = record_id(url, ts, record_type if record_type != "resource" else "")
+    if record_type == "response":
+        content_type = "application/http; msgtype=response"
+    elif record_type == "request":
+        content_type = "application/http; msgtype=request"
+    lines = [
+        "WARC/1.0",
+        f"WARC-Type: {record_type}",
+        f"WARC-Record-ID: <urn:sha1:{rid}>",
+        f"WARC-Date: {_warc_ts(ts)}",
+        f"WARC-Target-URI: {url}",
+    ]
+    for k, v in (extra_headers or {}).items():
+        lines.append(f"{k}: {v}")
+    lines += [
+        f"Content-Type: {content_type}",
+        f"Content-Length: {len(payload)}",
+        "",
+        "",
+    ]
+    return "\r\n".join(lines).encode() + payload + b"\r\n\r\n"
+
+
+def format_capture_pair(url: str, ts, html: bytes,
+                        status: int = 200) -> tuple[bytes, bytes]:
+    """Full-fidelity capture: (request, response) record pair — the
+    layout real WARC crawlers write. The response payload is the HTTP
+    message (status line + minimal headers + body) and carries
+    WARC-Payload-Digest over the BODY; the request record links to the
+    response via WARC-Concurrent-To. Deterministic: ids derive from
+    (kind, url, ts)."""
+    path = "/" + url.split("://", 1)[-1].split("/", 1)[-1] if "/" in url.split("://", 1)[-1] else "/"
+    host = url.split("://", 1)[-1].split("/", 1)[0]
+    req_payload = (
+        f"GET {path} HTTP/1.1\r\nHost: {host}\r\n"
+        f"User-Agent: ray-crawl-engine/1.0\r\n\r\n"
     ).encode()
-    return headers + payload + b"\r\n\r\n"
+    reason = {200: "OK", 301: "Moved Permanently", 302: "Found",
+              404: "Not Found"}.get(status, "OK")
+    resp_payload = (
+        f"HTTP/1.1 {status} {reason}\r\nContent-Type: text/html\r\n"
+        f"Content-Length: {len(html)}\r\n\r\n"
+    ).encode() + html
+    resp_id = record_id(url, ts, "response")
+    resp = format_record(
+        url, ts, resp_payload, record_type="response",
+        extra_headers={"WARC-Payload-Digest": payload_digest(html)},
+    )
+    req = format_record(
+        url, ts, req_payload, record_type="request",
+        extra_headers={"WARC-Concurrent-To": f"<urn:sha1:{resp_id}>"},
+    )
+    return req, resp
 
 
-def write_warc_batch(t: pa.Table, out_dir: str) -> pa.Table:
+def write_warc_batch(t: pa.Table, out_dir: str, mode: str = "resource") -> pa.Table:
     """map_batches stage: write this batch as one .warc.gz (one gzip
     member per record) + matching CDX parquet part; returns the index
-    rows. Deterministic file names from the first url."""
+    rows. Deterministic file names from all urls in the batch.
+
+    mode="resource": one resource record per page (compact archive).
+    mode="capture": request+response record PAIR per page with
+    WARC-Payload-Digest — the full-fidelity layout real crawlers
+    write; the CDX rows index the RESPONSE members."""
     out = pathlib.Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     urls = t["url"].to_pylist()
     tss = t["warc_ts"].to_pylist()
     htmls = t["html"].to_pylist()
+    statuses = (t["status"].to_pylist() if "status" in t.column_names
+                else [200] * len(urls))
     if not urls:
         return pa.table(
             {"url": pa.array([], pa.string()),
@@ -78,14 +141,24 @@ def write_warc_batch(t: pa.Table, out_dir: str) -> pa.Table:
     fname = f"part-{tag}-{len(urls)}.warc.gz"
     buf = io.BytesIO()
     offsets, lengths = [], []
-    for u, ts, h in zip(urls, tss, htmls):
-        rec = format_record(u, ts, h if h is not None else b"")
+
+    def _member(rec: bytes) -> tuple[int, int]:
         start = buf.tell()
         # one gzip member per record -> random access by (offset, length)
         with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
             gz.write(rec)
-        offsets.append(start)
-        lengths.append(buf.tell() - start)
+        return start, buf.tell() - start
+
+    for u, ts, h, st in zip(urls, tss, htmls, statuses):
+        body = h if h is not None else b""
+        if mode == "capture":
+            req, resp = format_capture_pair(u, ts, body, status=st or 200)
+            _member(req)
+            off, ln = _member(resp)  # CDX indexes the response member
+        else:
+            off, ln = _member(format_record(u, ts, body))
+        offsets.append(off)
+        lengths.append(ln)
     tmp = out / (fname + ".tmp")
     tmp.write_bytes(buf.getvalue())
     tmp.replace(out / fname)
@@ -102,11 +175,12 @@ def write_warc_batch(t: pa.Table, out_dir: str) -> pa.Table:
     return idx
 
 
-def write_warc_datasink(fetched_ds, out_dir: str) -> int:
+def write_warc_datasink(fetched_ds, out_dir: str, mode: str = "resource") -> int:
     """Distributed WARC export of a fetched/pages dataset. Returns the
-    number of records written."""
+    number of CDX-indexed records written (pages; capture mode writes
+    2 WARC records per page)."""
     idx = fetched_ds.map_batches(
-        lambda t, _o=out_dir: write_warc_batch(t, _o),
+        lambda t, _o=out_dir, _m=mode: write_warc_batch(t, _o, mode=_m),
         batch_format="pyarrow", batch_size=None,
     )
     return idx.count()

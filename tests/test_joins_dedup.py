@@ -86,16 +86,22 @@ def test_no_corpus_broadcast_in_textops():
 
 def test_bucket_pairs_star_cap():
     """Oversized LSH buckets emit star pairs (linear), small buckets
-    emit all pairs — and the cap preserves cluster connectivity."""
+    emit all pairs, singleton buckets are dropped vectorized — and the
+    cap preserves cluster connectivity."""
     from engine.textops import _MAX_LSH_BUCKET, _bucket_pairs
 
-    small = pd.DataFrame({"doc_id": [3, 1, 2]})
-    got = _bucket_pairs(small)
-    assert got.values.tolist() == [[1, 2], [1, 3], [2, 3]]
+    small = pd.DataFrame(
+        {"band": [0, 0, 0, 1], "band_hash": [7, 7, 7, 9], "doc_id": [3, 1, 2, 5]}
+    )
+    got = _bucket_pairs(small)  # the (1,9) singleton contributes nothing
+    assert got[["doc_a", "doc_b"]].values.tolist() == [[1, 2], [1, 3], [2, 3]]
 
-    big = pd.DataFrame({"doc_id": list(range(_MAX_LSH_BUCKET + 10))})
+    n = _MAX_LSH_BUCKET + 10
+    big = pd.DataFrame(
+        {"band": [0] * n, "band_hash": [7] * n, "doc_id": list(range(n))}
+    )
     got = _bucket_pairs(big)
-    assert len(got) == _MAX_LSH_BUCKET + 9  # star: min vs each other
+    assert len(got) == n - 1  # star: min vs each other
     assert (got["doc_a"] == 0).all()
 
 

@@ -4,6 +4,7 @@ via the CDX index, determinism."""
 from __future__ import annotations
 
 import pathlib
+from datetime import datetime
 
 import pyarrow.parquet as pq
 import pytest
@@ -61,3 +62,46 @@ def test_warc_datasink_distributed(ray_session, pages, tmp_path):
     for p in (tmp_path / "w").glob("cdx-*.parquet"):
         urls.extend(pq.read_table(p, columns=["url"])["url"].to_pylist())
     assert sorted(urls) == sorted(pages["url"].to_pylist())
+
+
+def test_warc_capture_mode_roundtrip(ray_session, tmp_path):
+    """Full-fidelity capture: request+response pairs, payload digest
+    verifiable, CDX random access lands on the response record."""
+    import base64
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.warc import (iter_warc_records, payload_digest,
+                             read_warc_record, write_warc_datasink)
+
+    rows = [
+        {"url": f"https://h.example/p/{i}", "warc_ts": datetime(2024, 1, 1, 0, 0, i),
+         "html": f"<p>body {i}</p>".encode(), "status": 200}
+        for i in range(5)
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    out = str(tmp_path / "warc")
+    n = write_warc_datasink(rd.from_arrow(tbl), out, mode="capture")
+    assert n == 5
+    import pathlib
+
+    import pyarrow.parquet as pq
+    idx = pa.concat_tables([pq.read_table(p) for p in pathlib.Path(out).glob("cdx-*.parquet")])
+    assert idx.num_rows == 5
+    # random access via CDX -> response record with verifiable digest
+    r0 = idx.to_pylist()[0]
+    rec = read_warc_record(out, r0["filename"], r0["offset"], r0["length"])
+    assert rec["headers"]["WARC-Type"] == "response"
+    body = rec["payload"].split(b"\r\n\r\n", 1)[1]
+    assert rec["headers"]["WARC-Payload-Digest"] == payload_digest(body)
+    assert rec["headers"]["WARC-Payload-Digest"] == (
+        "sha1:" + base64.b32encode(hashlib.sha1(body).digest()).decode())
+    # sequential scan sees request+response pairs, linked by id
+    recs = list(iter_warc_records(str(pathlib.Path(out) / r0["filename"])))
+    assert len(recs) == 10
+    kinds = [r["headers"]["WARC-Type"] for r in recs]
+    assert kinds == ["request", "response"] * 5
+    assert recs[0]["headers"]["WARC-Concurrent-To"] == recs[1]["headers"]["WARC-Record-ID"]
+    assert recs[0]["payload"].startswith(b"GET /p/")
