@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": textops.dedup_ngram_jaccard,
         "dedup_embedding": textops.dedup_embedding,
         "ann_topk_ivf": textops.ann_ivf_topk,
+        "ann_topk_indexed": textops.ann_topk_indexed,
+        "kmeans_embeddings": textops.kmeans_assign,
         "multimodal_decode": textops.multimodal_decode,
         "clean_corpus": textops.clean_corpus,
         # --- crawl as a query (rows-only: trace of a tiny crawl) ---

@@ -609,6 +609,150 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.95):
 # Similarity search
 # ---------------------------------------------------------------------------
 
+def _unit_rows(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    mat = np.asarray(t[col].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def kmeans_fit(emb_ds, k: int = 16, iters: int = 3) -> np.ndarray:
+    """Distributed Lloyd iterations over unit vectors (spherical
+    k-means): each map_batches task emits only (centroid_id, vec_sum,
+    count) partials — k×d floats per block — and the driver reduces
+    them, so the data never leaves the workers and the driver state is
+    O(k·d) regardless of corpus size. Deterministic: init = first k
+    rows, fixed iteration count, no RNG."""
+    init = emb_ds.limit(k).to_pandas()
+    cents = np.asarray(init["embedding"].tolist(), dtype=np.float64)
+    nrm = np.linalg.norm(cents, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    cents = cents / nrm
+    d = cents.shape[1]
+    for _ in range(iters):
+        cref = None
+        import ray
+
+        cref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            C = cached_get(cref)
+            unit = _unit_rows(t)
+            assign = np.argmax(unit @ C.T, axis=1)
+            rows = {"cid": [], "vsum": [], "n": []}
+            for c in np.unique(assign):
+                m = assign == c
+                rows["cid"].append(int(c))
+                rows["vsum"].append(unit[m].sum(axis=0).tolist())
+                rows["n"].append(int(m.sum()))
+            return pa.table(
+                {
+                    "cid": pa.array(rows["cid"], pa.int32()),
+                    "vsum": pa.array(rows["vsum"], pa.list_(pa.float64())),
+                    "n": pa.array(rows["n"], pa.int64()),
+                }
+            )
+
+        parts = emb_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        new = cents.copy()
+        for c in range(k):
+            sel = parts[parts["cid"] == c]
+            if len(sel):
+                v = np.sum(np.asarray(sel["vsum"].tolist()), axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    new[c] = v / nv
+        cents = new
+    return cents
+
+
+def kmeans_assign(sf_dir: str, k: int = 16, iters: int = 3):
+    """Spherical k-means clustering of the embeddings table (the
+    topic-clustering primitive a training-data pipeline uses for
+    domain balancing): fit distributed (kmeans_fit — O(k·d) driver
+    state), then one stateless assign pass. Output
+    (vec_id, cluster_id). Rows-only (iterative, not SQL-expressible)."""
+    import ray
+
+    emb = _emb(sf_dir, ["vec_id", "embedding"])
+    cents = kmeans_fit(emb, k=k, iters=iters)
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        C = cached_get(cref)
+        unit = _unit_rows(t)
+        cid = np.argmax(unit @ C.T, axis=1).astype(np.int32)
+        return pa.table({"vec_id": t["vec_id"], "cluster_id": pa.array(cid)})
+
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
+def ann_build_index(sf_dir: str, index_dir: str, n_centroids: int = 16,
+                    kmeans_iters: int = 3) -> np.ndarray:
+    """Persisted IVF index: k-means centroids (kmeans_fit) + the
+    embeddings written as parquet PARTITIONED BY list_id (nearest
+    centroid), so a query with n_probe lists reads only those
+    partitions from storage (partition pruning — no full re-scan or
+    re-assign per query). Returns the centroid matrix (also saved)."""
+    import pathlib
+
+    emb = _emb(sf_dir, ["vec_id", "embedding"])
+    cents = kmeans_fit(emb, k=n_centroids, iters=kmeans_iters)
+    import ray
+
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        C = cached_get(cref)
+        unit = _unit_rows(t)
+        lid = np.argmax(unit @ C.T, axis=1).astype(np.int32)
+        return t.append_column("list_id", pa.array(lid))
+
+    out = pathlib.Path(index_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    emb.map_batches(assign, batch_format="pyarrow").write_parquet(
+        str(out / "lists"), partition_cols=["list_id"]
+    )
+    np.save(out / "centroids.npy", cents)
+    return cents
+
+
+def ann_query_index(index_dir: str, probe_vec: np.ndarray, k: int = 10,
+                    n_probe: int = 4):
+    """Query the persisted IVF index: rank centroids, read ONLY the
+    n_probe matching list partitions (column-pruned), exact-score and
+    take top-k. Returns a Dataset of (vec_id, cosine)."""
+    import pathlib
+
+    cents = np.load(pathlib.Path(index_dir) / "centroids.npy")
+    pv = probe_vec.astype(np.float64)
+    pv = pv / (np.linalg.norm(pv) or 1.0)
+    probes = np.argsort(-(cents @ pv))[:n_probe]
+    paths: list[str] = []
+    for p in probes:
+        d = pathlib.Path(index_dir) / "lists" / f"list_id={int(p)}"
+        if d.exists():
+            paths.extend(str(f) for f in sorted(d.glob("*.parquet")))
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        unit = _unit_rows(t)
+        cos = unit @ pv
+        t2 = pa.table(
+            {"vec_id": t["vec_id"], "cosine": pa.array(np.round(cos, 6))}
+        )
+        idx = pc.sort_indices(
+            t2, sort_keys=[("cosine", "descending"), ("vec_id", "ascending")]
+        )
+        return t2.take(idx[:k])
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["cosine", "vec_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 class IVFScorer:
     """Actor-pool ANN stage: coarse centroids built once per actor
     (__init__) from a broadcast sample; per batch, rows are kept only
@@ -642,17 +786,15 @@ class IVFScorer:
 
 def ann_ivf_topk(sf_dir: str, k: int = 10, n_centroids: int = 16, n_probe: int = 4,
                  concurrency=None):
-    """IVF-style ANN top-k for the fixed arange probe vector: the
-    centroid table is tiny and broadcast; only probed lists are scored.
-    Rows-only (approximate by construction)."""
+    """IVF-style ANN top-k for the fixed arange probe vector: k-means
+    centroids (kmeans_fit — distributed Lloyd, not raw head rows), tiny
+    and broadcast; only probed lists are scored. Rows-only
+    (approximate by construction). The persisted/partitioned variant is
+    ann_topk_indexed / ann_build_index."""
     import ray
 
     emb = _emb(sf_dir, ["vec_id", "embedding"])
-    head = emb.limit(n_centroids).to_pandas()  # deterministic coarse centroids
-    cents = np.asarray(head["embedding"].tolist(), dtype=np.float64)
-    cnorm = np.linalg.norm(cents, axis=1, keepdims=True)
-    cnorm[cnorm == 0] = 1.0
-    cents = cents / cnorm
+    cents = kmeans_fit(emb, k=n_centroids, iters=2)
     d = cents.shape[1]
     probe_vec = np.arange(d, dtype=np.float64)
     probe_vec /= np.linalg.norm(probe_vec)
@@ -669,6 +811,31 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, n_centroids: int = 16, n_probe: int =
         .sort(["cosine", "vec_id"], descending=[True, False])
         .limit(k)
     )
+
+
+_ANN_INDEX_CACHE: dict[str, str] = {}
+
+
+def ann_topk_indexed(sf_dir: str, k: int = 10, n_probe: int = 4):
+    """The persisted-index ANN path as a queries() entry: build the
+    partitioned IVF index ONCE per sf_dir (cached under /tmp; at scale
+    this is the offline index-build job) and answer the fixed arange
+    probe from the probed partitions only — no per-query re-scan or
+    re-assign of the corpus. Rows-only."""
+    import hashlib as H
+    import os
+    import tempfile
+
+    idx = _ANN_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        key = H.sha1(sf_dir.encode()).hexdigest()[:12]
+        idx = os.path.join(tempfile.gettempdir(), f"ann_index_{key}")
+    if not os.path.exists(os.path.join(idx, "centroids.npy")):
+        ann_build_index(sf_dir, idx)
+    _ANN_INDEX_CACHE[sf_dir] = idx
+    cents = np.load(os.path.join(idx, "centroids.npy"))
+    probe = np.arange(cents.shape[1], dtype=np.float64)
+    return ann_query_index(idx, probe, k=k, n_probe=n_probe)
 
 
 # ---------------------------------------------------------------------------
