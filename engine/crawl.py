@@ -654,6 +654,8 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
     import ray
     import ray.data as rd
 
+    _t_entry = time.monotonic()
+
     if isinstance(pages_ds, pa.Table):
         pages_tbl = pages_ds
         pages_ds = rd.from_arrow(pages_tbl)
@@ -669,7 +671,18 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
     if crawl.discover_robots:
         robots_pages = _scan_robots_pages(pages_ds)
     policy = crawl.policy
-    seed_hosts = frozenset(host_of(canonicalize_url(s)) for s in crawl.seeds)
+    # seed_hosts is only consulted by same_host_only policies — for a
+    # 10^6+ seed list, canonicalizing every seed on the driver is a
+    # multi-second serial cost, so skip it unless the policy needs it
+    # (and prefer the already-canonical host column when the caller
+    # provided the built frontier)
+    if policy.same_host_only:
+        if initial_frontier is not None:
+            seed_hosts = frozenset(initial_frontier["host"].to_pylist())
+        else:
+            seed_hosts = frozenset(host_of(canonicalize_url(s)) for s in crawl.seeds)
+    else:
+        seed_hosts = frozenset()
     res = CrawlResult(out_dir=str(out))
 
     if pool is None:
@@ -704,6 +717,7 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
             robots_ref = ray.put(robots)
             delays = {h: robots.crawl_delay_ms(h) for h in robots.rules}
         frontier_tbl = None  # read from parquet below
+        f0_writer = None
         res.metrics = man.get("metrics", [])
         res.total_scheduled = man.get("total_scheduled", 0)
         res.total_fetched = man.get("total_fetched", 0)
@@ -723,14 +737,33 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
             pool.check_and_add(seed_tbl["url_key"].to_pylist(), -1)
         fdir = out / "frontier" / "round=0"
         fdir.mkdir(parents=True, exist_ok=True)
-        pq.write_table(seed_tbl, fdir / "part-0.parquet")
+        # checkpoint write of the seed frontier runs in a background
+        # thread (the round works from the in-memory table); joined
+        # before the first MANIFEST commit so the checkpoint invariant
+        # (MANIFEST only after all round state is on disk) holds
+        import threading
+
+        f0_writer = threading.Thread(
+            target=pq.write_table, args=(seed_tbl, fdir / "part-0.parquet")
+        )
+        f0_writer.start()
         frontier_tbl = seed_tbl
 
+    if _PROFILE:
+        import sys as _sys
+
+        print(f"[prof] setup {time.monotonic() - _t_entry:.2f}s", file=_sys.stderr)
     for rnd in range(start_round, crawl.max_rounds):
         t0 = time.monotonic()
         prof = _Prof(rnd)
         fdir = out / "frontier" / f"round={rnd}"
-        urls_in = parquet_num_rows(fdir)
+        # consume the in-memory seed frontier exactly once (first
+        # round of a fresh start) — later rounds read the checkpoint
+        cur_frontier_tbl, frontier_tbl = frontier_tbl, None
+        if cur_frontier_tbl is not None:
+            urls_in = cur_frontier_tbl.num_rows  # file may still be writing
+        else:
+            urls_in = parquet_num_rows(fdir)
         if urls_in == 0:
             break
         res.rounds = rnd + 1
@@ -742,9 +775,15 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
         # threshold path (engine.frontier).
         empty_frontier = _seed_frontier(CrawlConfig(seeds=()))
         if urls_in <= schedule_cutoff_rows:
-            ftbl = pa.concat_tables(
-                [pq.read_table(p) for p in sorted(fdir.glob("*.parquet"))]
-            )
+            if cur_frontier_tbl is not None:
+                # first round of a fresh start: the seed frontier is
+                # already in memory — skip the parquet round-trip (the
+                # checkpoint file is still on disk for resume)
+                ftbl = cur_frontier_tbl
+            else:
+                ftbl = pa.concat_tables(
+                    [pq.read_table(p) for p in sorted(fdir.glob("*.parquet"))]
+                )
             if crawl.discover_robots:
                 hosts = set(pc.unique(ftbl["host"]).to_pylist())
                 if _discover_new_robots(hosts, resolved_hosts, robots_pages,
@@ -764,6 +803,9 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
             # ray.get/concat_tables of scheduled rows on the driver.
             deferred_tbl = None
             sched_tbl = None
+            if f0_writer is not None:
+                f0_writer.join()  # this branch reads the parquet
+                f0_writer = None
             frontier_ds = rd.read_parquet(str(fdir))
             if crawl.discover_robots:
                 hosts = set(frontier_ds.unique("host"))
@@ -835,6 +877,9 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                     {
                         "k64": pa.array(sk64),
                         "url": sched_tbl["url"],
+                        "host": sched_tbl["host"],  # trace parts are
+                        # task-written; host rides the broadcast (zero-
+                        # copy plasma read) instead of a driver rebuild
                         "depth": sched_tbl["depth"],
                         "discovery_seq": sched_tbl["discovery_seq"],
                     }
@@ -890,6 +935,8 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                 # html/links from parquet.
                 _policy, _sh = policy, seed_hosts
                 _fdir = str(fetched_dir)
+                _tdir = str(tdir)
+                tdir.mkdir(parents=True, exist_ok=True)
 
                 def _fetch_parse_emit(t: pa.Table, _rnd=rnd) -> pa.Table:
                     import os as _os
@@ -911,6 +958,25 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                         tmp = pathlib.Path(_fdir) / (fname + ".tmp")
                         pq.write_table(full, tmp, compression="zstd")
                         _os.replace(tmp, pathlib.Path(_fdir) / fname)
+                        # hit trace rows are task-written (the driver
+                        # only writes the small miss rows) — removes an
+                        # O(scheduled) serial build+write per round
+                        trace_tbl = pa.table(
+                            {
+                                "round": pa.array(
+                                    np.full(full.num_rows, _rnd, np.int32)
+                                ),
+                                "host": t["host"],
+                                "url": t["url"],
+                                "discovery_seq": t["discovery_seq"],
+                                "status": t["status"],
+                            }
+                        )
+                        ttmp = pathlib.Path(_tdir) / (f"trace-{tag}.parquet.tmp")
+                        pq.write_table(trace_tbl, ttmp, compression="snappy")
+                        _os.replace(
+                            ttmp, pathlib.Path(_tdir) / f"trace-{tag}.parquet"
+                        )
                     # html links / collect_links only from 200s; 3xx
                     # rows contribute exactly their location link.
                     # Fast path: all-200 batches (the common case) skip
@@ -950,19 +1016,14 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                 from concurrent.futures import ThreadPoolExecutor
 
                 def _read_urls(p):
-                    return pq.read_table(p, columns=["url", "status"])
+                    return pq.read_table(p, columns=["url"])["url"]
 
                 with ThreadPoolExecutor(max_workers=8) as ex:
                     hit_parts = list(ex.map(_read_urls, fetched_dir.glob("*.parquet")))
-                hit_tbl = (
-                    pa.concat_tables(hit_parts).combine_chunks() if hit_parts
-                    else pa.table({"url": pa.array([], pa.string()),
-                                   "status": pa.array([], pa.int32())})
+                hit_arr = (
+                    pa.concat_arrays([c for part in hit_parts for c in part.chunks])
+                    if hit_parts else pa.array([], pa.string())
                 )
-                hit_arr = hit_tbl["url"].combine_chunks()
-                if isinstance(hit_arr, pa.ChunkedArray):
-                    hit_arr = (hit_arr.chunk(0) if hit_arr.num_chunks
-                               else pa.array([], pa.string()))
                 n_fetched = len(hit_arr)
                 # 404s: scheduled urls with no page (vectorized anti via is_in)
                 hit_mask = pc.is_in(sched_tbl["url"], value_set=hit_arr)
@@ -985,51 +1046,27 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                         }
                     )
                     pq.write_table(miss_tbl, fetched_dir / "misses.parquet")
-                prof.mark("misses")
+                    # trace: hit rows were task-written inside the
+                    # fetch pipeline; only the (small) miss rows are
+                    # driver-written — no O(scheduled) serial trace
+                    # build per round (FIXTURES.md §4 order is applied
+                    # at read by CrawlResult.trace())
+                    miss_trace = pa.table(
+                        {
+                            "round": pa.array(np.full(n_errors, rnd, np.int32)),
+                            "host": miss_tbl_src["host"],
+                            "url": miss_tbl_src["url"],
+                            "discovery_seq": miss_tbl_src["discovery_seq"],
+                            "status": pa.array(np.full(n_errors, 404, np.int32)),
+                        }
+                    )
+                    pq.write_table(miss_trace, tdir / "trace-misses.parquet",
+                                   compression="snappy")
+                prof.mark("misses_trace")
             else:
                 fetched_dir.mkdir(parents=True, exist_ok=True)
+                tdir.mkdir(parents=True, exist_ok=True)
                 n_fetched = n_errors = 0
-                hit_arr = pa.array([], pa.string())
-                hit_tbl = pa.table({"url": pa.array([], pa.string()),
-                                    "status": pa.array([], pa.int32())})
-
-            # trace (FIXTURES.md §4): scheduled rows, (seq, url) order.
-            # Driver-written here (bounded by schedule_cutoff_rows);
-            # the distributed path writes trace parts task-side.
-            tdir.mkdir(parents=True, exist_ok=True)
-            if n_sched:
-                # written UNSORTED (CrawlResult.trace() sorts at read —
-                # trace order is defined by (round, discovery_seq, url),
-                # not file order) so no O(n log n) driver sort per round
-                st = sched_tbl
-                # per-url status from the written parts (pages may
-                # carry 3xx statuses); urls absent from any part = 404
-                idx = pc.index_in(st["url"], value_set=hit_arr)
-                st_status = pc.fill_null(
-                    pc.take(hit_tbl["status"].combine_chunks(), idx),
-                    pa.scalar(404, pa.int32()),
-                )
-                trace_tbl = pa.table(
-                    {
-                        "round": pa.array(np.full(n_sched, rnd, np.int32)),
-                        "host": st["host"],
-                        "url": st["url"],
-                        "discovery_seq": st["discovery_seq"],
-                        "status": pc.cast(st_status, pa.int32()),
-                    }
-                )
-            else:
-                trace_tbl = pa.table(
-                    {
-                        "round": pa.array([], pa.int32()),
-                        "host": pa.array([], pa.string()),
-                        "url": pa.array([], pa.string()),
-                        "discovery_seq": pa.array([], pa.int64()),
-                        "status": pa.array([], pa.int32()),
-                    }
-                )
-            pq.write_table(trace_tbl, tdir / "trace.parquet", compression="snappy")
-            prof.mark("trace")
         else:
             # distributed single-pass join fetch (scale path): reached
             # by the >cutoff branch always (broadcast needs a driver
@@ -1130,6 +1167,7 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
         res.total_scheduled += n_sched
         res.total_fetched += n_fetched
         res.total_errors += n_errors
+        prof.mark("metrics_manifest_start")
         res.metrics.append(
             {
                 "round": rnd,
@@ -1159,7 +1197,17 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
             # robots learned mid-crawl are part of the resumable state
             man_payload["discovered_robots"] = discovered_robots
             man_payload["resolved_hosts"] = sorted(resolved_hosts)
+        if f0_writer is not None:
+            f0_writer.join()  # commit point: all round state on disk first
+            f0_writer = None
         manifest_path.write_text(json.dumps(man_payload, indent=1))
+        prof.mark("manifest")
         if n_next == 0:
             break
+    if f0_writer is not None:  # max_rounds=0 or never-entered loop
+        f0_writer.join()
+    if _PROFILE:
+        import sys as _sys
+
+        print(f"[prof] total {time.monotonic() - _t_entry:.2f}s", file=_sys.stderr)
     return res

@@ -167,9 +167,27 @@ class LangId:
         return pa.table({"doc_id": t["doc_id"], "lang_pred": pa.array(preds, pa.string())})
 
 
+_LANGID_CACHE: list = []
+
+
+def _langid_batch(t: pa.Table) -> pa.Table:
+    """Plain-task lang-id: the stage state (compiled regexes + stopword
+    sets) is cached per worker process — an actor pool here pays
+    spin-up for no state benefit (the actor-pool pattern is for real
+    per-actor state: models, broadcast indexes — see IVFScorer)."""
+    if not _LANGID_CACHE:
+        _LANGID_CACHE.append(LangId())
+    return _LANGID_CACHE[0](t)
+
+
 def lang_id(sf_dir: str, concurrency=None):
+    if concurrency is not None:
+        # explicit actor-pool mode (e.g. to cap parallelism)
+        return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            LangId, batch_format="pyarrow", concurrency=concurrency
+        )
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=_conc(concurrency)
+        _langid_batch, batch_format="pyarrow"
     )
 
 

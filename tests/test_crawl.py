@@ -178,3 +178,17 @@ def test_crawl_cuckoo_seen_mode(ray_session, pages_tbl, tmp_path):
     sizes = pool.sizes()
     assert sum(sizes) == len(sim.seen_urls)
     assert pool.insert_failures() == 0
+
+
+def test_crawl_same_host_only(ray_session, pages_tbl, tmp_path):
+    """same_host_only scoping: only seed-host urls are ever scheduled,
+    and the engine (lazy seed_hosts path) matches the simulator."""
+    pol = CrawlPolicy(same_host_only=True)
+    crawl = CrawlConfig(seeds=(SEEDS[0],), budget_per_host=4, max_rounds=40,
+                        policy=pol)
+    sim = simulate(_pages_dict(SYNTH), crawl)
+    res, _ = _run(tmp_path, pages_tbl, crawl)
+    assert _trace_key(res.trace()) == _trace_key(sim.trace)
+    hosts = {r["host"] for r in res.trace()}
+    assert hosts == {"host-0.example"}
+    assert res.total_fetched > 0
