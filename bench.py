@@ -82,8 +82,12 @@ def _bench_once(num_cpus: int, sf_dir: str, crawl_only: bool) -> dict:
     pool.check_and_add(frontier0["url_key"].to_pylist(), -1)
 
     out = tempfile.mkdtemp(prefix="bench_crawl_")
+    kw = {}
+    if os.environ.get("BENCH_SCHEDULE_CUTOFF"):
+        # e.g. 0 forces the fully distributed schedule+join-fetch path
+        kw["schedule_cutoff_rows"] = int(os.environ["BENCH_SCHEDULE_CUTOFF"])
     t0 = time.monotonic()
-    res = run_crawl(pages, crawl, out, pool=pool, initial_frontier=frontier0)
+    res = run_crawl(pages, crawl, out, pool=pool, initial_frontier=frontier0, **kw)
     crawl_sec = time.monotonic() - t0
     result = {
         "crawl_sec": round(crawl_sec, 3),

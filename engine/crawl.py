@@ -806,7 +806,11 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
             if f0_writer is not None:
                 f0_writer.join()  # this branch reads the parquet
                 f0_writer = None
-            frontier_ds = rd.read_parquet(str(fdir))
+            # columns= prunes the hive partition column that
+            # read_parquet infers from the "round=N" path component —
+            # otherwise deferred rows carry a stray `round` column into
+            # the next frontier and union schemas diverge
+            frontier_ds = rd.read_parquet(str(fdir), columns=list(FRONTIER.names))
             if crawl.discover_robots:
                 hosts = set(frontier_ds.unique("host"))
                 if _discover_new_robots(hosts, resolved_hosts, robots_pages,
