@@ -42,6 +42,32 @@ import pyarrow as pa
 MAX_ORD = b"\xff" * 33
 
 
+def _ord_components(t: pa.Table):
+    """(prio, seq, k0, k1, k2) uint64/uint32 arrays whose tuple order
+    equals the 33-byte ord_key's lexicographic byte order (big-endian
+    unsigned fields compare identically as ints) — the vectorized form
+    of ord_keys_batch."""
+    from engine.kernels import keys_matrix
+
+    mat = keys_matrix(t["url_key"])
+    k0 = np.ascontiguousarray(mat[:, :8]).view(">u8").ravel().astype(np.uint64)
+    k1 = np.ascontiguousarray(mat[:, 8:16]).view(">u8").ravel().astype(np.uint64)
+    k2 = np.ascontiguousarray(mat[:, 16:20]).view(">u4").ravel().astype(np.uint64)
+    prio = (np.asarray(t["priority"]).astype(np.int64)
+            + (1 << 31)).astype(np.uint64)
+    seq = np.asarray(t["discovery_seq"]).astype(np.uint64)
+    return prio, seq, k0, k1, k2
+
+
+def _unpack_ord(b: bytes) -> tuple:
+    """33-byte ord key -> the matching (prio, seq, k0, k1, k2) ints."""
+    p, s = struct.unpack(">IQ", b[:12])
+    k0 = int.from_bytes(b[12:20], "big")
+    k1 = int.from_bytes(b[20:28], "big")
+    k2 = int.from_bytes(b[28:32], "big")
+    return p, s, k0, k1, k2
+
+
 def effective_budget(budget_per_host: int, crawl_delay_ms: int,
                      round_time_budget_ms: int) -> int:
     if crawl_delay_ms and crawl_delay_ms > 0:
@@ -66,21 +92,32 @@ def ord_keys_batch(t: pa.Table) -> list[bytes]:
 
 def _partial_topb(t: pa.Table, max_budget: int) -> pa.Table:
     """Stage 1: per host within this batch, the ≤max_budget smallest
-    ordering keys."""
-    hosts = t["host"].to_pylist()
-    ords = ord_keys_batch(t)
-    per: dict[str, list[bytes]] = {}
-    for h, o in zip(hosts, ords):
-        per.setdefault(h, []).append(o)
-    o_host: list[str] = []
-    o_ord: list[bytes] = []
-    for h, lst in per.items():
-        lst.sort()
-        for o in lst[:max_budget]:
-            o_host.append(h)
-            o_ord.append(o)
-    return pa.table({"host": pa.array(o_host, pa.string()),
-                     "ord": pa.array(o_ord, pa.binary())})
+    ordering keys. Vectorized: one numpy lexsort + pandas cumcount per
+    batch; ord bytes are packed only for the ≤B×hosts kept rows."""
+    import pandas as pd
+
+    n = t.num_rows
+    if n == 0:
+        return pa.table({"host": pa.array([], pa.string()),
+                         "ord": pa.array([], pa.binary())})
+    prio, seq, k0, k1, k2 = _ord_components(t)
+    order = np.lexsort((k2, k1, k0, seq, prio))
+    host_codes, _ = pd.factorize(np.asarray(t["host"]), sort=False)
+    rank = (pd.Series(host_codes[order])
+            .groupby(host_codes[order], sort=False).cumcount().to_numpy())
+    keep = order[rank < max_budget]
+    hosts_col = t["host"].take(pa.array(keep))
+    # pack ord bytes for kept rows only
+    kp, ks = prio[keep], seq[keep]
+    kk0, kk1, kk2 = k0[keep], k1[keep], k2[keep]
+    ords = [
+        struct.pack(">IQ", int(p), int(s))
+        + int(a).to_bytes(8, "big") + int(b).to_bytes(8, "big")
+        + int(c).to_bytes(4, "big")
+        for p, s, a, b, c in zip(kp, ks, kk0, kk1, kk2)
+    ]
+    return pa.table({"host": hosts_col,
+                     "ord": pa.array(ords, pa.binary())})
 
 
 def compute_thresholds(frontier_ds, budget_per_host: int,
@@ -107,11 +144,25 @@ def compute_thresholds(frontier_ds, budget_per_host: int,
 def mark_scheduled(t: pa.Table, thresholds: dict[str, bytes]) -> pa.Table:
     """Append bool `scheduled` column: ord_key(row) <= threshold[host].
     Hosts missing from the threshold table had no candidates (can't
-    happen for rows present here) — treated as schedule-all."""
-    hosts = t["host"].to_pylist()
-    ords = ord_keys_batch(t)
-    mask = np.fromiter(
-        (o <= thresholds.get(h, MAX_ORD) for h, o in zip(hosts, ords)),
-        dtype=bool, count=len(hosts),
+    happen for rows present here) — treated as schedule-all.
+    Vectorized: thresholds are unpacked once per DISTINCT host and the
+    lexicographic compare is numpy over component arrays."""
+    import pandas as pd
+
+    n = t.num_rows
+    if n == 0:
+        return t.append_column("scheduled", pa.array([], pa.bool_()))
+    prio, seq, k0, k1, k2 = _ord_components(t)
+    host_codes, hosts_uniq = pd.factorize(np.asarray(t["host"]), sort=False)
+    thr = np.empty((len(hosts_uniq), 5), dtype=np.uint64)
+    for i, h in enumerate(hosts_uniq):
+        thr[i] = _unpack_ord(thresholds.get(h, MAX_ORD))
+    tp, ts, t0, t1, t2 = (thr[host_codes, j] for j in range(5))
+    mask = (
+        (prio < tp)
+        | ((prio == tp) & ((seq < ts)
+           | ((seq == ts) & ((k0 < t0)
+              | ((k0 == t0) & ((k1 < t1)
+                 | ((k1 == t1) & (k2 <= t2))))))))
     )
     return t.append_column("scheduled", pa.array(mask))
