@@ -111,10 +111,9 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered per table). Float
     aggregates use exact fixed-point (scale to int64 "cents", sum,
     divide last — see engine.ops._cents) mirrored in the SQL so both
-    sides produce bit-identical doubles. Rows-only ops
-    (url_canonicalize, the dedup family, ann, multimodal, crawl_trace)
-    are deliberately omitted — not SQL-expressible (sha1/LSH/actor
-    state)."""
+    sides produce bit-identical doubles. Rows-only ops (the dedup
+    family, ann, kmeans, multimodal, crawl_trace) are deliberately
+    omitted — not SQL-expressible (LSH / iterative / actor state)."""
     from engine.textops import _STOPWORDS
 
     def _in(ws):
@@ -156,6 +155,17 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": (
             "SELECT doc_id, len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) "
             "AS n_tokens FROM documents"
+        ),
+        # golden oracle for A6: expected canonical form constructed
+        # directly for the known synthetic inputs (engine must
+        # lowercase host, strip :443 and #frag, resolve /a/../)
+        "url_canonicalize": (
+            "SELECT doc_id, "
+            "'https://host-' || CAST(doc_id % 7 AS VARCHAR) || '.example/docs/' "
+            "|| CAST(doc_id AS VARCHAR) || '?x=' || CAST(doc_id AS VARCHAR) AS url, "
+            "sha256('https://host-' || CAST(doc_id % 7 AS VARCHAR) || "
+            "'.example/docs/' || CAST(doc_id AS VARCHAR) || '?x=' || "
+            "CAST(doc_id AS VARCHAR)) AS url_sha256 FROM documents"
         ),
         "filter_project": (
             "SELECT l_orderkey, l_quantity, l_extendedprice, l_shipdate "

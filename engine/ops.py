@@ -29,7 +29,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from engine.util import cached_get
-from engine.kernels import canonicalize_url, sha1_key
+from engine.kernels import canonicalize_url
 
 
 def _t(sf_dir: str, name: str, columns=None):
@@ -390,7 +390,14 @@ def string_fns(sf_dir: str):
 # --------------------------------------------------------------- B16
 def url_canonicalize(sf_dir: str):
     """A6 exposed generically: canonicalize urls minted from documents
-    (rows-only check — not SQL-expressible)."""
+    (case-folding, default-port strip, dot-segment removal, fragment
+    drop). Oracle-checked as a GOLDEN: the SQL constructs the expected
+    canonical form for these known inputs directly, plus a sha256 url
+    key (DuckDB has no sha1 — the crawl's real A7 key stays sha1,
+    unit-tested; this query's key column exists to oracle-check the
+    keying step end-to-end)."""
+    import hashlib
+
     ds = _t(sf_dir, "documents", ["doc_id"])
 
     def f(t: pa.Table) -> pa.Table:
@@ -403,7 +410,10 @@ def url_canonicalize(sf_dir: str):
             {
                 "doc_id": t["doc_id"],
                 "url": pa.array(canon, pa.string()),
-                "url_sha1": pa.array([sha1_key(u).hex() for u in canon], pa.string()),
+                "url_sha256": pa.array(
+                    [hashlib.sha256(u.encode()).hexdigest() for u in canon],
+                    pa.string(),
+                ),
             }
         )
 
