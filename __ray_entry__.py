@@ -152,6 +152,19 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY cosine DESC, vec_id LIMIT 10"
         ),
         "lang_id": lang_sql,
+        # the multimodal decode KERNEL is a declared deterministic fake
+        # (no image libs in env) derived from md5(payload) — which
+        # makes the whole pipeline (payload minting -> actor-pool
+        # decode -> feature schema) oracle-checkable end-to-end
+        "multimodal_decode": (
+            "SELECT doc_id, "
+            "CAST(16 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) % 240 "
+            "AS INTEGER) AS width, "
+            "CAST(16 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) % 240 "
+            "AS INTEGER) AS height, "
+            "CAST(concat('0x', substr(md5(text), 5, 8)) AS BIGINT) AS checksum, "
+            "CAST(64 AS INTEGER) AS resized_to FROM documents"
+        ),
         "bpe_token_count": (
             "SELECT doc_id, len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) "
             "AS n_tokens FROM documents"
