@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": textops.dedup_embedding,
         "ann_topk_ivf": textops.ann_ivf_topk,
         "ann_topk_indexed": textops.ann_topk_indexed,
+        "ann_topk_full": textops.ann_topk_full,
         "kmeans_embeddings": textops.kmeans_assign,
         "multimodal_decode": textops.multimodal_decode,
         "clean_corpus": textops.clean_corpus,
@@ -152,6 +153,15 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY cosine DESC, vec_id LIMIT 10"
         ),
         "lang_id": lang_sql,
+        # full-probe IVF == brute force (test-proven), and the scoring
+        # kernel is shared with vector_topk — so the persisted-index
+        # ANN path gets the same bit-exact oracle
+        "ann_topk_full": (
+            f"SELECT vec_id, CAST(ROUND(list_cosine_similarity("
+            f"CAST(embedding AS DOUBLE[]), {probe}) * 1000000) AS BIGINT)"
+            f" / 1000000.0 AS cosine FROM embeddings "
+            f"ORDER BY cosine DESC, vec_id LIMIT 10"
+        ),
         # the multimodal decode KERNEL is a declared deterministic fake
         # (no image libs in env) derived from md5(payload) — which
         # makes the whole pipeline (payload minting -> actor-pool

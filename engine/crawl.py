@@ -84,7 +84,7 @@ from engine.oracle import CrawlConfig
 from engine.robots import RobotsTable
 from engine.schemas import FRONTIER
 from engine.seen import SeenPool
-from engine.util import cached_get, parquet_num_rows
+from engine.util import cached_get, parquet_num_rows, scaled_buckets
 
 
 # ---------------------------------------------------------------------------
@@ -284,7 +284,7 @@ def _links_to_frontier(t: pa.Table, policy, seed_hosts: frozenset) -> pa.Table:
             "parent_url": pa.array(rows["parent_url"], pa.string()),
             "link_index": pa.array(rows["link_index"], pa.int32()),
             "bucket": pa.array(
-                [key64(k) % NUM_DEDUP_BUCKETS for k in rows["url_key"]], pa.int32()
+                [key64(k) % _dedup_buckets() for k in rows["url_key"]], pa.int32()
             ),
         }
     )
@@ -336,7 +336,18 @@ def _schedule_local(ftbl: pa.Table, robots: RobotsTable, budget: int,
     return ftbl.filter(arr), ftbl.filter(pc.invert(arr)), robots_blocked
 
 
-NUM_DEDUP_BUCKETS = 4096
+NUM_DEDUP_BUCKETS = 4096  # tuned at 32 CPUs; scaled by util.scaled_buckets
+_DEDUP_BUCKETS_CACHE: list = []
+
+
+def _dedup_buckets() -> int:
+    """Worker-cached scaled bucket count for the intra-round dedup
+    groupby (bucket count only routes — the dedup winner is
+    bucket-count-independent, so determinism across parallelism levels
+    is preserved)."""
+    if not _DEDUP_BUCKETS_CACHE:
+        _DEDUP_BUCKETS_CACHE.append(scaled_buckets(NUM_DEDUP_BUCKETS))
+    return _DEDUP_BUCKETS_CACHE[0]
 
 
 def _dedup_first(g: pa.Table) -> pa.Table:

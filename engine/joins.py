@@ -24,6 +24,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from engine.util import scaled_buckets
+
 
 def _mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — spreads sequential int keys uniformly so
@@ -39,30 +41,43 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 
 def _bucket_of(col: pa.ChunkedArray, num_buckets: int) -> pa.Array:
-    """bucket id per value. Int keys route via mix64; string keys via
-    a stable FNV-1a over utf-8 bytes (vectorized per batch)."""
+    """bucket id per value. Int keys route via mix64 (pure numpy);
+    string keys are dictionary-encoded so only the DISTINCT values are
+    hashed (one C-speed md5 call each — on a url-keyed join the
+    per-row-per-byte Python hash loop this replaces WAS the stage
+    cost), then mapped back through the dictionary indices with one
+    numpy take."""
     if pa.types.is_integer(col.type):
         x = col.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         b = _mix64(x.view(np.uint64)) % np.uint64(num_buckets)
         return pa.array(b.astype(np.int32))
-    vals = col.to_pylist()
-    out = np.empty(len(vals), dtype=np.int64)
-    for i, v in enumerate(vals):
-        h = np.uint64(0xCBF29CE484222325)
-        for byte in v.encode("utf-8"):
-            h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = int(h % np.uint64(num_buckets))
-    return pa.array(out.astype(np.int32))
+    import hashlib
+
+    enc = pc.dictionary_encode(col.combine_chunks())
+    dvals = enc.dictionary.to_pylist()
+    dhash = np.fromiter(
+        (int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[:8], "big")
+         for v in dvals),
+        dtype=np.uint64, count=len(dvals),
+    )
+    dbucket = (dhash % np.uint64(num_buckets)).astype(np.int32)
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.array(dbucket[idx])
 
 
 def semi_anti_bucketed(left_ds, right_ds, on: str, right_on: str | None = None,
-                       keep_present: bool = True, num_buckets: int = 64):
+                       keep_present: bool = True, num_buckets: int | None = None):
     """left semi (keep_present=True) / anti (False) join: keep left rows
     whose `on` value is (not) present among right's `right_on` values.
 
     Both datasets stay distributed end-to-end: the only exchange is one
     groupby over (left rows ∪ right key rows) on the hashed bucket.
+    num_buckets defaults to util.scaled_buckets(64) — 64 at the 32-CPU
+    sandbox, scaling with cluster CPUs so bucket SIZE doesn't grow
+    with the corpus at fixed fan-out.
     """
+    if num_buckets is None:
+        num_buckets = scaled_buckets(64)
     right_on = right_on or on
     left_schema = left_ds.schema()
     left_names = list(left_schema.names)

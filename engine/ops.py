@@ -208,13 +208,12 @@ def _semi_anti(sf_dir: str, keep_present: bool, mode: str = "broadcast"):
             cust, big.select_columns(["o_custkey"]),
             on="c_custkey", right_on="o_custkey", keep_present=keep_present,
         )
-    keys = set(big.unique("o_custkey"))
-    ref = ray.put(frozenset(keys))
+    keys_arr = pa.array(sorted(big.unique("o_custkey")), pa.int64())
+    ref = ray.put(keys_arr)
 
     def f(t: pa.Table) -> pa.Table:
-        s = cached_get(ref)
-        mask = [((k in s) == keep_present) for k in t["c_custkey"].to_pylist()]
-        return t.filter(pa.array(mask, pa.bool_()))
+        inset = pc.is_in(t["c_custkey"], value_set=cached_get(ref))
+        return t.filter(inset if keep_present else pc.invert(inset))
 
     return cust.map_batches(f, batch_format="pyarrow")
 
@@ -443,6 +442,34 @@ def asof_latest(sf_dir: str, cutoff: str = "2024-01-15 00:00:00"):
 
 
 # --------------------------------------------------------------- B18
+def cosine_fixed6_topk_batch(t: pa.Table, k: int) -> pa.Table:
+    """Shared B18 scoring kernel (used by vector_topk AND the
+    full-probe indexed ANN entry, so both are bit-identical to the
+    same SQL oracle): float64 end-to-end + fixed-point round to 6 dp
+    so the DuckDB oracle (list_cosine_similarity on the same float32
+    inputs upcast to double) lands on the bit-identical rounded
+    double; ranking uses the ROUNDED value on both sides (ties broken
+    by vec_id) so the top-k sets agree exactly."""
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    probe = np.arange(mat.shape[1], dtype=np.float64)
+    denom = np.linalg.norm(mat, axis=1) * np.linalg.norm(probe)
+    denom[denom == 0] = 1.0
+    cos = (mat @ probe) / denom
+    cos_r = pc.divide(
+        pc.cast(
+            pc.round(pc.multiply(pa.array(cos), 1e6),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        ).cast(pa.float64()),
+        1e6,
+    )
+    t2 = pa.table({"vec_id": t["vec_id"], "cosine": cos_r})
+    idx = pc.sort_indices(
+        t2, sort_keys=[("cosine", "descending"), ("vec_id", "ascending")]
+    )
+    return t2.take(idx[:k])
+
+
 def vector_topk(sf_dir: str, k: int = 10):
     """Brute-force cosine top-k of embeddings against a fixed probe
     vector: numpy matmul per batch (broadcast probe), local top-k, then
@@ -451,29 +478,7 @@ def vector_topk(sf_dir: str, k: int = 10):
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def score(t: pa.Table) -> pa.Table:
-        # float64 end-to-end + fixed-point round to 6 dp so the DuckDB
-        # oracle (list_cosine_similarity on the same float32 inputs
-        # upcast to double) lands on the bit-identical rounded double;
-        # ranking uses the ROUNDED value on both sides (ties broken by
-        # vec_id) so the top-k sets agree exactly.
-        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-        probe = np.arange(mat.shape[1], dtype=np.float64)
-        denom = np.linalg.norm(mat, axis=1) * np.linalg.norm(probe)
-        denom[denom == 0] = 1.0
-        cos = (mat @ probe) / denom
-        cos_r = pc.divide(
-            pc.cast(
-                pc.round(pc.multiply(pa.array(cos), 1e6),
-                         round_mode="half_towards_infinity"),
-                pa.int64(),
-            ).cast(pa.float64()),
-            1e6,
-        )
-        t2 = pa.table({"vec_id": t["vec_id"], "cosine": cos_r})
-        idx = pc.sort_indices(
-            t2, sort_keys=[("cosine", "descending"), ("vec_id", "ascending")]
-        )
-        return t2.take(idx[:k])
+        return cosine_fixed6_topk_batch(t, k)
 
     return (
         ds.map_batches(score, batch_format="pyarrow")

@@ -24,7 +24,9 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
-from engine.util import cached_get
+from engine.util import cached_get, cluster_cpus, scaled_buckets
+
+_scaled_buckets = scaled_buckets  # local alias (worker pickle-by-value)
 
 
 def _conc(n=None):
@@ -35,17 +37,7 @@ def _conc(n=None):
     actors that fight shuffle aggregators for CPUs."""
     if n is not None:
         return n
-    cpus = 0
-    try:
-        import ray
-
-        if ray.is_initialized():
-            cpus = int(ray.cluster_resources().get("CPU", 0))
-    except Exception:
-        pass
-    if not cpus:
-        cpus = len(os.sched_getaffinity(0))
-    return (2, max(2, cpus))
+    return (2, max(2, cluster_cpus()))
 
 
 def _docs(sf_dir: str, columns=None):
@@ -336,19 +328,21 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-_N_LSH_COARSE = 512
+_N_LSH_COARSE = 512  # tuned at 32 CPUs; scaled by util.scaled_buckets
 
 
-def _lsh_candidate_pairs(bands):
+def _lsh_candidate_pairs(bands, n_rows_est: int | None = None):
     """bands (band, band_hash, doc_id) → distinct-ish candidate pairs
-    via a COARSE groupby (band_hash % _N_LSH_COARSE): ~512 groups
-    regardless of corpus size instead of one group per distinct
-    (band, band_hash)."""
+    via a COARSE groupby (band_hash % n_coarse): a bounded group count
+    instead of one group per distinct (band, band_hash). n_coarse
+    scales with cluster CPUs (and the caller's row estimate) per
+    util.scaled_buckets — 512 at the 32-CPU sandbox."""
+    n_coarse = scaled_buckets(_N_LSH_COARSE, n_rows_est)
 
     def coarse(t: pa.Table) -> pa.Table:
         b = t["band_hash"].combine_chunks().to_numpy(zero_copy_only=False)
         return t.append_column(
-            "lsh_bucket", pa.array((b % _N_LSH_COARSE).astype(np.int32))
+            "lsh_bucket", pa.array((b % n_coarse).astype(np.int32))
         )
 
     return (
@@ -360,22 +354,29 @@ def _lsh_candidate_pairs(bands):
 
 def _verify_pairs_copart(pairs_ds, docs, verify_fn, threshold: float,
                          num_partitions: int | None = None,
-                         num_pair_buckets: int = 64):
+                         num_pair_buckets: int | None = None,
+                         payload_col: str = "text",
+                         value_name: str = "jaccard"):
     """Verify candidate pairs against the corpus WITHOUT broadcasting
     it: explode each (doc_a, doc_b) into two (pair, doc_id) rows, hash
-    co-partition join texts on doc_id (Dataset.join — both sides stay
-    distributed), then one coarse groupby on a pair-hash bucket
-    assembles (text_a, text_b) and verifies. Shuffled volume = pair
-    rows + each pair's two texts; the corpus itself never moves to the
-    driver and is never replicated to every worker. Band-duplicate
-    candidates are deduped locally per batch and globally per pair
-    bucket (same pair always hashes to the same bucket)."""
+    co-partition join payloads on doc_id (Dataset.join — both sides
+    stay distributed), then one coarse groupby on a pair-hash bucket
+    assembles (payload_a, payload_b) and verifies. Shuffled volume =
+    pair rows + each pair's two payloads; the corpus itself never
+    moves to the driver and is never replicated to every worker.
+    Band-duplicate candidates are deduped locally per batch and
+    globally per pair bucket (same pair always hashes to the same
+    bucket). `docs` must expose (doc_id, <payload_col>); the payload
+    is opaque to this machinery (text for the jaccard dedups,
+    embedding vectors for dedup_embedding)."""
     from engine.joins import _mix64
 
     if num_partitions is None:
         # join partition count scales with the cluster (a constant
         # would serialize the text shuffle on a big cluster)
         num_partitions = max(4, _conc()[1] // 4)
+    if num_pair_buckets is None:
+        num_pair_buckets = _scaled_buckets(64)
 
     def explode(t: pa.Table) -> pa.Table:
         a = t["doc_a"].combine_chunks()
@@ -402,11 +403,11 @@ def _verify_pairs_copart(pairs_ds, docs, verify_fn, threshold: float,
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["doc_a", "doc_b", "doc_id"])
-        ta = g[g["doc_id"] == g["doc_a"]].set_index(["doc_a", "doc_b"])["text"]
-        tb = g[g["doc_id"] == g["doc_b"]].set_index(["doc_a", "doc_b"])["text"]
-        j = ta.to_frame("text_a").join(tb.to_frame("text_b"), how="inner").reset_index()
+        ta = g[g["doc_id"] == g["doc_a"]].set_index(["doc_a", "doc_b"])[payload_col]
+        tb = g[g["doc_id"] == g["doc_b"]].set_index(["doc_a", "doc_b"])[payload_col]
+        j = ta.to_frame("pl_a").join(tb.to_frame("pl_b"), how="inner").reset_index()
         keep_a, keep_b, vals = [], [], []
-        for xa, xb, sa, sb in zip(j["doc_a"], j["doc_b"], j["text_a"], j["text_b"]):
+        for xa, xb, sa, sb in zip(j["doc_a"], j["doc_b"], j["pl_a"], j["pl_b"]):
             v = verify_fn(sa, sb)
             if v >= threshold:
                 keep_a.append(xa)
@@ -416,7 +417,7 @@ def _verify_pairs_copart(pairs_ds, docs, verify_fn, threshold: float,
             {
                 "doc_a": pd.array(keep_a, dtype="int64"),
                 "doc_b": pd.array(keep_b, dtype="int64"),
-                "jaccard": pd.array(vals, dtype="float64"),
+                value_name: pd.array(vals, dtype="float64"),
             }
         )
 
@@ -459,19 +460,71 @@ def _simhash64(s: str) -> int:
     return out
 
 
-def dedup_simhash(sf_dir: str):
+_POPCOUNT_TABLE = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy 1.x has no bitwise_count):
+    byte-table lookup summed over the 8 bytes of each word. x is any
+    uint64 ndarray; returns int64 of the same shape."""
+    b = x.reshape(-1).view(np.uint8).reshape(-1, 8)
+    return _POPCOUNT_TABLE[b].sum(axis=1).astype(np.int64).reshape(x.shape)
+
+
+def _strip_band(hs: np.ndarray, band: int) -> np.ndarray:
+    """Remove the 16 bits of `band` from each 64-bit hash, compacting
+    the remaining 48 bits (used for the exact-recall second-level
+    re-block of an oversized band bucket)."""
+    low = hs & np.uint64((1 << (16 * band)) - 1)
+    high = hs >> np.uint64(16 * (band + 1))
+    return low | (high << np.uint64(16 * band))
+
+
+_MAX_SIMHASH_SUBBLOCK = 2048  # second-level full-pair cap (memory bound)
+
+
+def _simhash_group_pairs(ids: np.ndarray, hs: np.ndarray, max_ham: int,
+                         out: set) -> None:
+    """All (ia, ib, ham) pairs with hamming <= max_ham within one
+    (sub-)block — fully vectorized: chunked pairwise XOR + byte-table
+    popcount, no per-row Python hamming loop. ids must be sorted asc."""
+    m = len(ids)
+    step = max(1, (1 << 22) // max(1, m))  # ~32 MB xor-matrix chunks
+    for lo in range(0, m, step):
+        hi = min(m, lo + step)
+        ham = _popcount64(hs[lo:hi, None] ^ hs[None, :])  # (hi-lo, m)
+        ii, jj = np.nonzero(ham <= max_ham)
+        keep = (ii + lo) < jj  # upper triangle only
+        for r, c in zip(ii[keep], jj[keep]):
+            out.add((int(ids[r + lo]), int(ids[c]), int(ham[r, c])))
+
+
+def dedup_simhash(sf_dir: str, max_hamming: int = 3):
     """64-bit SimHash per doc + near-dup pairs via 4×16-bit band
-    blocking and hamming ≤ 3 verify. Rows-only; returns pairs."""
+    blocking and hamming ≤ 3 verify. Rows-only; returns pairs.
+
+    Recall is EXACT through two levels (pigeonhole: ≤3 differing bits
+    touch ≤3 of the 4 bands, so every qualifying pair collides in ≥1
+    band; inside an oversized band bucket the remaining 48 bits are
+    re-blocked on 4×12-bit sub-bands, where the same argument applies)
+    — only a sub-block beyond _MAX_SIMHASH_SUBBLOCK falls back to star
+    pairs (min id vs rest), which preserves duplicate-cluster
+    connectivity at linear cost. Hamming is computed by vectorized
+    byte-table popcount over chunked XOR matrices, never a per-row
+    Python loop."""
 
     def sim(t: pa.Table) -> pa.Table:
         rows = {"band": [], "band_val": [], "doc_id": [], "simhash": []}
         for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             h = _simhash64(s)
+            h_i64 = h - (1 << 64) if h >= (1 << 63) else h  # 2's-compl.
             for b in range(4):
                 rows["band"].append(b)
                 rows["band_val"].append((h >> (16 * b)) & 0xFFFF)
                 rows["doc_id"].append(did)
-                rows["simhash"].append(h >> 1)  # int64-safe
+                rows["simhash"].append(h_i64)
         return pa.table(
             {
                 "band": pa.array(rows["band"], pa.int32()),
@@ -483,43 +536,58 @@ def dedup_simhash(sf_dir: str):
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         # One COARSE lsh bucket (many (band, band_val) groups);
-        # singletons dropped vectorized. Within a real collision group,
-        # buckets above _MAX_LSH_BUCKET verify star pairs only (min id
-        # vs rest) — linear, preserves cluster connectivity; the full
-        # scale refinement is two-level blocking (re-block an oversized
-        # 16-bit bucket on a second band) which keeps recall exact.
+        # singletons dropped vectorized first.
         g = g.drop_duplicates(["band", "band_val", "doc_id"])
         g = g[g.duplicated(["band", "band_val"], keep=False)]
-        a, b, d = [], [], []
-        for _, grp in g.groupby(["band", "band_val"], sort=False):
+        found: set = set()
+        for (band, _), grp in g.groupby(["band", "band_val"], sort=False):
             grp = grp.sort_values("doc_id")
-            ids = grp["doc_id"].tolist()
-            hs = grp["simhash"].tolist()
-            if len(ids) > _MAX_LSH_BUCKET:
-                for j in range(1, len(ids)):
-                    ham = bin(hs[0] ^ hs[j]).count("1")
-                    if ham <= 3:
-                        a.append(ids[0])
-                        b.append(ids[j])
-                        d.append(ham)
-            else:
-                for i in range(len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        ham = bin(hs[i] ^ hs[j]).count("1")
-                        if ham <= 3:
-                            a.append(ids[i])
-                            b.append(ids[j])
-                            d.append(ham)
+            ids = grp["doc_id"].to_numpy()
+            hs = grp["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+            if len(ids) <= _MAX_LSH_BUCKET:
+                _simhash_group_pairs(ids, hs, max_hamming, found)
+                continue
+            # second level: re-block the 48 non-band bits on 4×12-bit
+            # sub-bands (exact recall at <=3 differing bits)
+            rest = _strip_band(hs, int(band))
+            for sb in range(4):
+                sub = (rest >> np.uint64(12 * sb)) & np.uint64(0xFFF)
+                order = np.argsort(sub, kind="stable")
+                sub_s, ids_s, hs_s = sub[order], ids[order], hs[order]
+                bounds = np.flatnonzero(np.diff(sub_s)) + 1
+                for blo, bhi in zip(
+                    np.concatenate(([0], bounds)),
+                    np.concatenate((bounds, [len(sub_s)])),
+                ):
+                    if bhi - blo < 2:
+                        continue
+                    o2 = np.argsort(ids_s[blo:bhi], kind="stable")
+                    bids, bhs = ids_s[blo:bhi][o2], hs_s[blo:bhi][o2]
+                    if len(bids) <= _MAX_SIMHASH_SUBBLOCK:
+                        _simhash_group_pairs(bids, bhs, max_hamming, found)
+                    else:
+                        # third-level guard: star pairs only (linear)
+                        ham = _popcount64(bhs[0] ^ bhs[1:])
+                        for j in np.flatnonzero(ham <= max_hamming):
+                            found.add(
+                                (int(bids[0]), int(bids[j + 1]), int(ham[j]))
+                            )
+        a, b, d = (
+            [p[0] for p in found], [p[1] for p in found], [p[2] for p in found]
+        )
         return pd.DataFrame(
             {"doc_a": pd.array(a, dtype="int64"),
              "doc_b": pd.array(b, dtype="int64"),
              "hamming": pd.array(d, dtype="int64")}
         )
 
+    n_coarse = scaled_buckets(_N_LSH_COARSE)
+    n_pair_buckets = scaled_buckets(64)
+
     def coarse(t: pa.Table) -> pa.Table:
         b = t["band_val"].combine_chunks().to_numpy(zero_copy_only=False)
         return t.append_column(
-            "lsh_bucket", pa.array((b % _N_LSH_COARSE).astype(np.int32))
+            "lsh_bucket", pa.array((b % n_coarse).astype(np.int32))
         )
 
     from engine.joins import _mix64
@@ -527,7 +595,9 @@ def dedup_simhash(sf_dir: str):
     def pair_bucket(t: pa.Table) -> pa.Table:
         a = t["doc_a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["doc_b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        pb = _mix64((a * np.int64(1000003) ^ b).view(np.uint64)) % np.uint64(64)
+        pb = _mix64((a * np.int64(1000003) ^ b).view(np.uint64)) % np.uint64(
+            n_pair_buckets
+        )
         return t.append_column("pair_bucket", pa.array(pb.astype(np.int32)))
 
     return (
@@ -563,62 +633,152 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5):
     return _verify_pairs_copart(pairs, docs, _char_jaccard, threshold)
 
 
+_EMB_BANDS = 12
+_EMB_BAND_BITS = 16
+_EMB_PLANE_CACHE: dict[int, np.ndarray] = {}
+
+
+def _emb_planes(dim: int) -> np.ndarray:
+    """Seeded sign-LSH hyperplanes (dim × bands·bits), built once per
+    worker process per dimensionality — identical everywhere (fixed
+    rng seed, no wall clock)."""
+    planes = _EMB_PLANE_CACHE.get(dim)
+    if planes is None:
+        rng = np.random.default_rng(7)
+        planes = rng.standard_normal((dim, _EMB_BANDS * _EMB_BAND_BITS))
+        _EMB_PLANE_CACHE[dim] = planes
+    return planes
+
+
+def _emb_bands(t: pa.Table) -> pa.Table:
+    """vector → one row per LSH band: (band, band_hash, doc_id), fully
+    vectorized (matmul + bit packing)."""
+    unit = _unit_rows(t)
+    n = len(unit)
+    bits = (unit @ _emb_planes(unit.shape[1])) > 0  # (n, bands*bits)
+    weights = (1 << np.arange(_EMB_BAND_BITS, dtype=np.int64))
+    vals = bits.reshape(n, _EMB_BANDS, _EMB_BAND_BITS) @ weights  # (n, bands)
+    ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "band": pa.array(np.tile(np.arange(_EMB_BANDS, dtype=np.int32), n)),
+            "band_hash": pa.array(vals.ravel().astype(np.int64)),
+            "doc_id": pa.array(np.repeat(ids, _EMB_BANDS)),
+        }
+    )
+
+
+def _cosine_pair(va, vb) -> float:
+    """Exact float64 cosine of two vectors; accepts float arrays or
+    packed float32 bytes (the co-partitioned join ships embeddings as
+    binary — Acero can't carry list<float> non-key payloads)."""
+    if isinstance(va, (bytes, bytearray)):
+        va = np.frombuffer(va, dtype=np.float32)
+    if isinstance(vb, (bytes, bytearray)):
+        vb = np.frombuffer(vb, dtype=np.float32)
+    a = np.asarray(va, dtype=np.float64)
+    b = np.asarray(vb, dtype=np.float64)
+    na = np.linalg.norm(a) or 1.0
+    nb = np.linalg.norm(b) or 1.0
+    return float(a @ b / (na * nb))
+
+
 def dedup_embedding(sf_dir: str, threshold: float = 0.95):
-    """Embedding-cosine near-dup as a KEEP/DROP decision: sign-LSH
-    (8 seeded hyperplanes) → bucket groupby → within-bucket, each
-    vector's `rep_id` = the smallest vec_id whose cosine ≥ threshold
-    (itself when no near-dup). One output row per vector; `is_dup`
-    marks rows a dedup pass would drop. Rows-only.
+    """Embedding-cosine near-dup as a KEEP/DROP decision. Banded
+    sign-LSH (12 bands × 16 bits over 192 seeded hyperplanes —
+    mirroring dedup_simhash's blocking, NOT a single fixed-2^8-bucket
+    table) generates candidate pairs through the same star-capped
+    coarse-bucket machinery as the text dedups; pairs are
+    cosine-verified via the co-partitioned payload join
+    (_verify_pairs_copart — the corpus is never broadcast or
+    driver-materialized); then ONE vectorized groupby assigns each
+    vector `rep_id` = the smallest vec_id whose verified cosine ≥
+    threshold (itself when none — matching the brute-force all-pairs
+    reference, test_dedup_embedding_bruteforce). One output row per
+    vector; `is_dup` marks rows a dedup pass would drop. Rows-only
+    (LSH recall is probabilistic by construction: ~4e-4 miss per pair
+    at cosine 0.99).
 
-    Scale: the LSH bucket is the only shuffle key; pairwise cosine is
-    a numpy matmul confined to each bucket (near-dups by construction
-    collide; distant vectors spread over 2^8 buckets)."""
+    Scale: per-bucket work is linear (star caps), pairwise cosine
+    only ever runs on verified CANDIDATES (never a bucket-wide
+    mat @ mat.T), and rep assignment is a drop_duplicates over sorted
+    pair rows — no per-row Python double loop."""
+    from engine.joins import _mix64
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = mat / norms
-        rng = np.random.default_rng(7)  # fixed planes — same every batch
-        planes = rng.standard_normal((mat.shape[1], 8))
-        bits = (unit @ planes) > 0
-        bucket = bits @ (1 << np.arange(8))
+    emb = _emb(sf_dir, ["vec_id", "embedding"])
+    bands = emb.map_batches(_emb_bands, batch_format="pyarrow")
+    cands = _lsh_candidate_pairs(bands)
+
+    def payload(t: pa.Table) -> pa.Table:
+        # pack float32 bytes: Acero join non-key fields can't be
+        # list<float>, and binary is the cheaper shuffle payload anyway
+        blobs = [
+            np.asarray(v, dtype=np.float32).tobytes()
+            for v in t["embedding"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t["vec_id"], "payload": pa.array(blobs, pa.binary())}
+        )
+
+    verified = _verify_pairs_copart(
+        cands, emb.map_batches(payload, batch_format="pyarrow"),
+        _cosine_pair, threshold, payload_col="payload", value_name="cosine",
+    )
+
+    # rep assignment + attach in ONE bucketed groupby: union of
+    # (all vec ids, side 0) and (verified pairs as candidate rep rows,
+    # side 1), co-partitioned on mix64(vec_id).
+    n_rep_buckets = scaled_buckets(64)
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "bucket": pa.array(bucket.astype(np.int64)),
-                "vec_id": t["vec_id"],
-                "unit": pa.array(list(unit), pa.list_(pa.float64())),
+                "vec_id": t["doc_b"],
+                "rep_id": t["doc_a"],
+                "cosine_to_rep": t["cosine"],
+                "side": pa.array(np.ones(t.num_rows, np.int8)),
             }
         )
 
-    def assign_rep(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id")
-        ids = g["vec_id"].tolist()
-        mat = np.asarray(g["unit"].tolist())
-        sims = mat @ mat.T
-        reps, cos = [], []
-        for i in range(len(ids)):
-            rep, c = ids[i], 1.0
-            for j in range(i):
-                if sims[i, j] >= threshold:
-                    rep, c = ids[j], float(sims[i, j])
-                    break  # ids sorted asc -> first hit is the smallest
-            reps.append(rep)
-            cos.append(round(c, 4))
-        return pd.DataFrame(
+    def tag_all(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
             {
-                "vec_id": ids,
-                "rep_id": reps,
-                "cosine_to_rep": cos,
-                "is_dup": [r != i for r, i in zip(reps, ids)],
+                "vec_id": t["vec_id"],
+                "rep_id": pa.nulls(n, pa.int64()),
+                "cosine_to_rep": pa.nulls(n, pa.float64()),
+                "side": pa.array(np.zeros(n, np.int8)),
             }
         )
 
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        b = _mix64(v.view(np.uint64)) % np.uint64(n_rep_buckets)
+        return t.append_column("rbucket", pa.array(b.astype(np.int32)))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        reps = (
+            g[g["side"] == 1]
+            .sort_values(["vec_id", "rep_id"], kind="mergesort")
+            .drop_duplicates("vec_id", keep="first")  # min rep per vec
+        )
+        base = g.loc[g["side"] == 0, ["vec_id"]]
+        m = base.merge(
+            reps[["vec_id", "rep_id", "cosine_to_rep"]], on="vec_id", how="left"
+        )
+        is_dup = m["rep_id"].notna()
+        m["rep_id"] = m["rep_id"].fillna(m["vec_id"]).astype("int64")
+        m["cosine_to_rep"] = m["cosine_to_rep"].fillna(1.0)
+        m["is_dup"] = is_dup
+        return m[["vec_id", "rep_id", "cosine_to_rep", "is_dup"]]
+
+    all_side = emb.map_batches(tag_all, batch_format="pyarrow")
+    pair_side = verified.map_batches(tag_pairs, batch_format="pyarrow")
     return (
-        _emb(sf_dir, ["vec_id", "embedding"])
-        .map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(assign_rep, batch_format="pandas")
+        all_side.union(pair_side)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("rbucket")
+        .map_groups(resolve, batch_format="pandas")
         .select_columns(["vec_id", "rep_id", "cosine_to_rep", "is_dup"])
     )
 
@@ -834,12 +994,10 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, n_centroids: int = 16, n_probe: int =
 _ANN_INDEX_CACHE: dict[str, str] = {}
 
 
-def ann_topk_indexed(sf_dir: str, k: int = 10, n_probe: int = 4):
-    """The persisted-index ANN path as a queries() entry: build the
-    partitioned IVF index ONCE per sf_dir (cached under /tmp; at scale
-    this is the offline index-build job) and answer the fixed arange
-    probe from the probed partitions only — no per-query re-scan or
-    re-assign of the corpus. Rows-only."""
+def _ensure_ann_index(sf_dir: str) -> str:
+    """Build the partitioned IVF index ONCE per sf_dir (cached under
+    /tmp; at scale this is the offline index-build job); returns the
+    index dir."""
     import hashlib as H
     import os
     import tempfile
@@ -851,9 +1009,44 @@ def ann_topk_indexed(sf_dir: str, k: int = 10, n_probe: int = 4):
     if not os.path.exists(os.path.join(idx, "centroids.npy")):
         ann_build_index(sf_dir, idx)
     _ANN_INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def ann_topk_indexed(sf_dir: str, k: int = 10, n_probe: int = 4):
+    """The persisted-index ANN path as a queries() entry: answer the
+    fixed arange probe from the probed partitions only — no per-query
+    re-scan or re-assign of the corpus. Rows-only (approximate by
+    construction at n_probe < n_centroids; the oracle-checked
+    full-probe variant is ann_topk_full)."""
+    idx = _ensure_ann_index(sf_dir)
     cents = np.load(os.path.join(idx, "centroids.npy"))
     probe = np.arange(cents.shape[1], dtype=np.float64)
     return ann_query_index(idx, probe, k=k, n_probe=n_probe)
+
+
+def ann_topk_full(sf_dir: str, k: int = 10):
+    """Full-probe query of the persisted IVF index (every list
+    partition is read): provably identical to the brute-force scan
+    (test_ann all-probe property), which makes the persisted-index
+    path itself ORACLE-CHECKABLE — the scoring kernel is shared with
+    ops.vector_topk (cosine_fixed6_topk_batch), so both sides of the
+    DuckDB comparison produce bit-identical 6-dp rounded doubles."""
+    import pathlib
+
+    from engine.ops import cosine_fixed6_topk_batch
+
+    idx = _ensure_ann_index(sf_dir)
+    lists = sorted((pathlib.Path(idx) / "lists").glob("list_id=*/*.parquet"))
+    ds = rd.read_parquet([str(p) for p in lists], columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        return cosine_fixed6_topk_batch(t, k)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["cosine", "vec_id"], descending=[True, False])
+        .limit(k)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -982,8 +1175,9 @@ def clean_corpus(sf_dir: str, jaccard_threshold: float = 0.7):
             ),
             1,
         )
-        lid = LangId()
-        preds = lid(t.select(["doc_id", "text"]))
+        # worker-process-cached LangId (regex/state setup must not run
+        # per batch — the exact anti-pattern _langid_batch exists for)
+        preds = _langid_batch(t.select(["doc_id", "text"]))
         fps = [_rolling_fingerprint(s) for s in t["text"].to_pylist()]
         return pa.table(
             {

@@ -29,6 +29,44 @@ def cached_get(ref):
     return val
 
 
+def cluster_cpus() -> int:
+    """Total cluster CPUs (from the live Ray cluster when initialised,
+    else this host's affinity mask). Callable from driver or worker;
+    the lookup is cheap but callers that use it per batch should cache
+    the result."""
+    import os
+
+    try:
+        import ray
+
+        if ray.is_initialized():
+            n = int(ray.cluster_resources().get("CPU", 0))
+            if n:
+                return n
+    except Exception:
+        pass
+    return len(os.sched_getaffinity(0))
+
+
+def scaled_buckets(at32: int, n_rows_est: int | None = None,
+                   target_rows_per_bucket: int = 20_000) -> int:
+    """Fan-out width for coarse-bucket groupbys / bucketed joins.
+
+    `at32` is the value tuned on the 32-CPU sandbox (few enough buckets
+    that per-group map_groups overhead stays negligible); the rule
+    scales it linearly with cluster CPUs so a 1024-CPU cluster gets
+    32× the fan-out, and with the caller's input-row estimate when
+    known — a FIXED bucket count means group size grows linearly with
+    the corpus (10^10 rows / 512 buckets = 2·10^7-row map_groups
+    invocations in one worker heap). Defaults reproduce the sandbox
+    constants exactly at 32 CPUs."""
+    per_cpu = max(1, at32 // 32)
+    n = max(at32 // 8, cluster_cpus() * per_cpu)
+    if n_rows_est:
+        n = max(n, n_rows_est // target_rows_per_bucket)
+    return n
+
+
 def parquet_num_rows(dir_path: str | pathlib.Path) -> int:
     """Row count of a directory of parquet files from file metadata —
     no Ray job, no data read."""

@@ -41,6 +41,18 @@ def test_ann_index_all_probe_equals_bruteforce(ray_session, tmp_path):
     assert len(lists) > 1
 
 
+def test_ann_topk_full_equals_vector_topk(ray_session):
+    """The oracle-checked full-probe entry: reading every index
+    partition with the shared fixed-point scoring kernel must
+    reproduce the brute-force result bit-exactly."""
+    from engine import ops, textops
+
+    full = textops.ann_topk_full(SF, k=10).to_pandas()
+    brute = ops.vector_topk(SF, k=10).to_pandas()
+    assert full["vec_id"].tolist() == brute["vec_id"].tolist()
+    assert full["cosine"].tolist() == brute["cosine"].tolist()
+
+
 def test_ann_indexed_query_entry(ray_session):
     from engine import textops
 

@@ -105,6 +105,34 @@ def test_bucket_pairs_star_cap():
     assert (got["doc_a"] == 0).all()
 
 
+def test_scaled_buckets_rule(ray_session):
+    """Fan-out constants scale with cluster CPUs (and row estimates),
+    and reproduce the tuned sandbox constants at 32 CPUs; bucket count
+    only routes, so any configuration gives identical results."""
+    from unittest import mock
+
+    import ray.data as rd
+
+    from engine import util
+    from engine.joins import semi_anti_bucketed
+
+    with mock.patch.object(util, "cluster_cpus", return_value=32):
+        assert util.scaled_buckets(512) == 512
+        assert util.scaled_buckets(64) == 64
+        assert util.scaled_buckets(4096) == 4096
+    with mock.patch.object(util, "cluster_cpus", return_value=1024):
+        assert util.scaled_buckets(512) == 512 * 32
+        assert util.scaled_buckets(64) == 64 * 32
+    # row-estimate floor: group size stays bounded at fixed CPUs
+    with mock.patch.object(util, "cluster_cpus", return_value=32):
+        assert util.scaled_buckets(512, n_rows_est=100_000_000) == 5000
+
+    left = rd.from_items([{"k": i, "v": i} for i in range(40)])
+    right = rd.from_items([{"k": i} for i in range(0, 40, 4)])
+    small = semi_anti_bucketed(left, right, on="k", num_buckets=2)
+    assert sorted(small.to_pandas()["v"].tolist()) == list(range(0, 40, 4))
+
+
 def test_resume_config_mismatch_raises(ray_session, tmp_path):
     from engine.crawl import run_crawl
     from engine.oracle import CrawlConfig
