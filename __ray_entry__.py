@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": ops.url_canonicalize,
         "asof_latest": ops.asof_latest,
         "sessionize": ops.sessionize,
+        "window_rank": ops.window_rank,
+        "percentile_disc": ops.percentile_disc,
         "vector_topk": ops.vector_topk,
         # --- training-data pipeline ops (textops) ---
         "token_count": textops.token_count,
@@ -112,9 +114,12 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered per table). Float
     aggregates use exact fixed-point (scale to int64 "cents", sum,
     divide last — see engine.ops._cents) mirrored in the SQL so both
-    sides produce bit-identical doubles. Rows-only ops (the dedup
-    family, ann, kmeans, multimodal, crawl_trace) are deliberately
-    omitted — not SQL-expressible (LSH / iterative / actor state)."""
+    sides produce bit-identical doubles. 29 of the 39 queries() entries
+    are oracle-checked; the 10 rows-only ops (the dedup-pair family,
+    approximate ANN, kmeans, fingerprints, crawl_trace) are
+    deliberately omitted — not SQL-expressible (LSH / iterative /
+    actor state) — and are instead locked by brute-force-oracle and
+    golden tests (tests/test_dedup_scale.py, test_joins_dedup.py)."""
     from engine.textops import _STOPWORDS
 
     def _in(ws):
@@ -273,6 +278,22 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
             "FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') "
             "WHERE rn = 1"
+        ),
+        "window_rank": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "CAST(row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn "
+            "FROM orders) WHERE rn <= 3"
+        ),
+        "percentile_disc": (
+            "WITH r AS (SELECT c_mktsegment, c_acctbal, "
+            "row_number() OVER (PARTITION BY c_mktsegment "
+            "ORDER BY c_acctbal, c_custkey) AS rn, "
+            "COUNT(*) OVER (PARTITION BY c_mktsegment) AS n "
+            "FROM customer) "
+            "SELECT c_mktsegment, c_acctbal AS median_acctbal, "
+            "CAST(n AS BIGINT) AS n_customers FROM r WHERE rn = (n+1)//2"
         ),
         "sessionize": (
             "WITH marked AS ("

@@ -368,45 +368,45 @@ def _dedup_first(g: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False).cast(g.schema)
 
 
-def _scan_robots_pages(pages_ds) -> dict[str, str]:
-    """A18 discovery support: ONE pass over the pages table collecting
-    rows whose path is exactly /robots.txt — a tiny fraction of the
-    web, so the result is a small driver-held host→text dict (https
-    preferred over http deterministically). Run once per crawl, only
-    when CrawlConfig.discover_robots is set."""
+def _load_robots_into_pool(pages_ds, pool) -> int:
+    """A18 discovery, scale path: ONE pass over the pages table
+    collects rows whose path is exactly /robots.txt and pushes them
+    into the sharded RobotsShardActor pool FROM THE MAP TASKS — the
+    driver never materializes a host→text dict (the round loop later
+    broadcasts only the rules for hosts present in that round's
+    frontier, RobotsShardPool.round_table). Returns the robots-page
+    row count (tiny counts table is the only driver-side result)."""
     from urllib.parse import urlsplit
 
-    def rob(t: pa.Table) -> pa.Table:
+    from engine.robots import robots_shard_of
+
+    actors, num_shards = pool.actors, pool.num_shards
+
+    def push(t: pa.Table) -> pa.Table:
+        import ray
+
         mask = pc.ends_with(t["url"], pattern="/robots.txt")
         rt = t.filter(mask)
-        return pa.table({"url": rt["url"], "html": rt["html"]})
+        per: dict[int, tuple[list, list, list]] = {}
+        n = 0
+        for u, html in zip(rt["url"].to_pylist(), rt["html"].to_pylist()):
+            parts = urlsplit(u)
+            if parts.path != "/robots.txt" or parts.query:
+                continue
+            host = parts.netloc.lower()
+            s = robots_shard_of(host, num_shards)
+            bucket = per.setdefault(s, ([], [], []))
+            bucket[0].append(host)
+            bucket[1].append(parts.scheme)
+            bucket[2].append(bytes(html or b"").decode("utf-8", "replace"))
+            n += 1
+        futs = [actors[s].add_many.remote(*v) for s, v in per.items()]
+        if futs:
+            ray.get(futs)
+        return pa.table({"n": pa.array([n], pa.int64())})
 
-    best: dict[str, tuple[str, str]] = {}
-    for r in pages_ds.map_batches(rob, batch_format="pyarrow").take_all():
-        parts = urlsplit(r["url"])
-        if parts.path != "/robots.txt" or parts.query:
-            continue
-        host = parts.netloc.lower()
-        scheme = parts.scheme
-        prev = best.get(host)
-        if prev is None or (scheme == "https" and prev[0] == "http"):
-            best[host] = (scheme, bytes(r["html"] or b"").decode("utf-8", "replace"))
-    return {h: t for h, (s, t) in best.items()}
-
-
-def _discover_new_robots(hosts: set, resolved: set, robots_pages: dict,
-                         robots: RobotsTable, discovered: dict) -> bool:
-    """Fold robots for first-seen hosts into the live RobotsTable;
-    returns True when anything changed (caller re-broadcasts)."""
-    changed = False
-    for h in sorted(hosts - resolved):
-        txt = robots_pages.get(h)
-        if txt is not None:
-            robots.add(h, txt)
-            discovered[h] = txt
-            changed = True
-    resolved |= hosts
-    return changed
+    total = pages_ds.map_batches(push, batch_format="pyarrow").sum("n")
+    return int(total or 0)
 
 
 def _join_fetch_round(sched_ds, pages_ds, rnd: int, fetched_dir, trace_dir,
@@ -676,11 +676,12 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
     robots = RobotsTable(dict(crawl.robots_raw))
     robots_ref = ray.put(robots)
     delays = {h: robots.crawl_delay_ms(h) for h, _ in crawl.robots_raw}
-    resolved_hosts: set = set()
-    discovered_robots: dict[str, str] = {}
-    robots_pages: dict[str, str] = {}
+    robots_pool = None
     if crawl.discover_robots:
-        robots_pages = _scan_robots_pages(pages_ds)
+        from engine.robots import RobotsShardPool
+
+        robots_pool = RobotsShardPool(max(2, crawl.num_shards))
+        _load_robots_into_pool(pages_ds, robots_pool)
     policy = crawl.policy
     # seed_hosts is only consulted by same_host_only policies — for a
     # 10^6+ seed list, canonicalizing every seed on the driver is a
@@ -720,13 +721,10 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
             for s in range(crawl.num_shards)
         ]
         pool.load_all(blobs)
-        for h, txt in man.get("discovered_robots", {}).items():
-            robots.add(h, txt)
-            discovered_robots[h] = txt
-        resolved_hosts = set(man.get("resolved_hosts", []))
-        if discovered_robots:
-            robots_ref = ray.put(robots)
-            delays = {h: robots.crawl_delay_ms(h) for h in robots.rules}
+        # discovered robots need no MANIFEST payload: the shard pool is
+        # reloaded from the pages table in setup (same one-pass scan a
+        # fresh start does) and each round rebuilds its frontier-host
+        # subset from it — nothing host-scale lives in the JSON
         frontier_tbl = None  # read from parquet below
         f0_writer = None
         res.metrics = man.get("metrics", [])
@@ -795,12 +793,13 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                 ftbl = pa.concat_tables(
                     [pq.read_table(p) for p in sorted(fdir.glob("*.parquet"))]
                 )
-            if crawl.discover_robots:
-                hosts = set(pc.unique(ftbl["host"]).to_pylist())
-                if _discover_new_robots(hosts, resolved_hosts, robots_pages,
-                                        robots, discovered_robots):
-                    robots_ref = ray.put(robots)
-                    delays = {h: robots.crawl_delay_ms(h) for h in robots.rules}
+            if robots_pool is not None:
+                # per-round subset: rules for THIS round's frontier
+                # hosts only — the driver never accumulates the full
+                # discovered host→rules table
+                robots = robots_pool.round_table(
+                    pc.unique(ftbl["host"]).to_pylist(), crawl.robots_raw
+                )
             sched_tbl, deferred_tbl, robots_blocked = _schedule_local(
                 ftbl, robots, crawl.budget_per_host, crawl.round_time_budget_ms
             )
@@ -822,12 +821,15 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
             # otherwise deferred rows carry a stray `round` column into
             # the next frontier and union schemas diverge
             frontier_ds = rd.read_parquet(str(fdir), columns=list(FRONTIER.names))
-            if crawl.discover_robots:
-                hosts = set(frontier_ds.unique("host"))
-                if _discover_new_robots(hosts, resolved_hosts, robots_pages,
-                                        robots, discovered_robots):
-                    robots_ref = ray.put(robots)
-                    delays = {h: robots.crawl_delay_ms(h) for h in robots.rules}
+            if robots_pool is not None:
+                # bounded by this round's distinct frontier hosts; the
+                # broadcast ships only this subset, not the accumulated
+                # all-hosts table
+                robots = robots_pool.round_table(
+                    frontier_ds.unique("host"), crawl.robots_raw
+                )
+                robots_ref = ray.put(robots)
+                delays = {h: robots.crawl_delay_ms(h) for h in robots.rules}
             if robots.rules:
                 gated = frontier_ds.map_batches(
                     robots_gate_fn(robots_ref), batch_format="pyarrow"
@@ -869,7 +871,8 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
 
         fetched_dir = out / "fetched" / f"round={rnd}"
         for stale in (fetched_dir, out / "frontier" / f"round={rnd + 1}",
-                      out / "trace" / f"round={rnd}"):
+                      out / "trace" / f"round={rnd}",
+                      out / "robots" / f"round={rnd}"):
             if stale.exists():
                 shutil.rmtree(stale)
         survivors = None  # set by the single-pass fetch pipelines
@@ -1208,10 +1211,13 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
             "total_fetched": res.total_fetched,
             "total_errors": res.total_errors,
         }
-        if crawl.discover_robots:
-            # robots learned mid-crawl are part of the resumable state
-            man_payload["discovered_robots"] = discovered_robots
-            man_payload["resolved_hosts"] = sorted(resolved_hosts)
+        if robots_pool is not None:
+            # §4.3 layout: the round's effective robots subset as
+            # parquet (audit/lineage artifact; resume re-derives state
+            # from the pages scan, so nothing host-scale sits in JSON)
+            rdir = out / "robots" / f"round={rnd}"
+            rdir.mkdir(parents=True, exist_ok=True)
+            pq.write_table(robots.to_arrow(), rdir / "robots.parquet")
         if f0_writer is not None:
             f0_writer.join()  # commit point: all round state on disk first
             f0_writer = None

@@ -28,12 +28,12 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from engine.util import cached_get
+from engine.util import cached_get, read_parquet_clean
 from engine.kernels import canonicalize_url
 
 
 def _t(sf_dir: str, name: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 # --------------------------------------------------------------- B1
@@ -534,4 +534,69 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
         .map_groups(per_user, batch_format="pandas")
         .select_columns(["user_id", "session_id", "n_events",
                          "session_start", "session_end"])
+    )
+
+
+# ----------------------------------------------------- window_rank
+def window_rank(sf_dir: str, k: int = 3):
+    """Windowed rank / grouped top-N (the window-function custom
+    operator a batch engine re-expresses as a partitioned sort): top-k
+    orders per customer by (o_totalprice DESC, o_orderkey), with the
+    rank attached. Keys are COARSE-bucketed (util.scaled_buckets, not
+    one map_groups group per customer — per-group overhead on millions
+    of tiny groups is the known trap) and ranked vectorized inside
+    each bucket (sort + cumcount, no per-key Python)."""
+    from engine.joins import _mix64
+    from engine.util import scaled_buckets
+
+    nb = scaled_buckets(512)
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        x = t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        b = _mix64(x.view(np.uint64)) % np.uint64(nb)
+        return t.append_column("bucket", pa.array(b.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        rn = g.groupby("o_custkey", sort=False).cumcount() + 1
+        g = g.assign(rn=rn.astype("int64"))
+        return g.loc[g["rn"] <= k, ["o_custkey", "o_orderkey", "o_totalprice", "rn"]]
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(["o_custkey", "o_orderkey", "o_totalprice", "rn"])
+    )
+
+
+# ------------------------------------------------- percentile_group
+def percentile_disc(sf_dir: str):
+    """Exact discrete median per group (the rank-based percentile a
+    quality-filter pipeline thresholds on): per c_mktsegment, the
+    c_acctbal at 1-based rank (n+1)//2 under (c_acctbal, c_custkey)
+    order — pure value SELECTION, no interpolation, so the DuckDB
+    window-function oracle matches bit-exactly. Group count is bounded
+    (segments), so a direct groupby is the right shape."""
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_acctbal", "c_custkey"], kind="mergesort")
+        row = g.iloc[(len(g) + 1) // 2 - 1]
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [row["c_mktsegment"]],
+                "median_acctbal": [float(row["c_acctbal"])],
+                "n_customers": [int(len(g))],
+            }
+        )
+
+    return (
+        ds.groupby("c_mktsegment")
+        .map_groups(med, batch_format="pandas")
+        .select_columns(["c_mktsegment", "median_acctbal", "n_customers"])
     )

@@ -145,13 +145,92 @@ class RobotsTable:
         ).cast(ROBOTS)
 
 
-class RobotsActor:
-    """Scale path (A18): shard of the robots cache, keyed by host hash.
-    get_rules returns raw texts so callers build matchers locally once.
-    Instantiate via ray.remote(RobotsActor)."""
+def robots_shard_of(host: str, num_shards: int) -> int:
+    """Stable shard routing for the robots pool (md5-based — host
+    strings, so no numeric-pattern skew concern)."""
+    import hashlib
 
-    def __init__(self, raw: dict[str, str]):
-        self.raw = raw
+    return int.from_bytes(hashlib.md5(host.encode()).digest()[:4], "big") % num_shards
 
-    def get_rules(self, hosts: list[str]) -> list[str | None]:
+
+class RobotsShardActor:
+    """One shard of the discovered-robots store (A18 scale path,
+    SURVEY 'RobotsActor RPC when not small'): holds host -> robots.txt
+    text for hosts routing to this shard. Filled by the discovery-scan
+    map tasks (add_many), queried per round for the hosts present in
+    that round's frontier (get_texts). The full host->text map never
+    exists in any single process — at 10^8 distinct hosts each shard
+    holds 10^8/K entries and the driver only ever sees the per-round
+    working set."""
+
+    def __init__(self):
+        self.raw: dict[str, str] = {}
+        self.scheme: dict[str, str] = {}
+
+    def add_many(self, hosts: list[str], schemes: list[str],
+                 texts: list[str]) -> int:
+        """Fold discovered robots pages in; https beats http for the
+        same host (order-independent, so concurrent scan tasks commute)."""
+        for h, s, t in zip(hosts, schemes, texts):
+            prev = self.scheme.get(h)
+            if prev is None or (s == "https" and prev == "http"):
+                self.raw[h] = t
+                self.scheme[h] = s
+        return len(self.raw)
+
+    def get_texts(self, hosts: list[str]) -> list[str | None]:
         return [self.raw.get(h) for h in hosts]
+
+
+class RobotsShardPool:
+    """Driver handle over K RobotsShardActors + a bounded parse memo.
+
+    Per crawl round the driver asks for ONLY the hosts present in that
+    round's frontier (round_table) and broadcasts that subset — never
+    the full accumulated table. Actors take num_cpus=0 so they never
+    compete with shuffle aggregators for CPU slots."""
+
+    def __init__(self, num_shards: int, memo_cap: int = 100_000):
+        import ray
+
+        self.num_shards = num_shards
+        self.actors = [
+            ray.remote(RobotsShardActor).options(num_cpus=0).remote()
+            for _ in range(num_shards)
+        ]
+        self._memo: dict[str, RobotsRules] = {}
+        self._memo_cap = memo_cap
+
+    def get_texts(self, hosts: list[str]) -> dict[str, str]:
+        import ray
+
+        by_shard: dict[int, list[str]] = {}
+        for h in hosts:
+            by_shard.setdefault(robots_shard_of(h, self.num_shards), []).append(h)
+        futs = [
+            (hs, self.actors[s].get_texts.remote(hs))
+            for s, hs in by_shard.items()
+        ]
+        out: dict[str, str] = {}
+        for hs, f in futs:
+            for h, t in zip(hs, ray.get(f)):
+                if t is not None:
+                    out[h] = t
+        return out
+
+    def round_table(self, hosts, config_raw, agent: str = "*") -> RobotsTable:
+        """RobotsTable limited to the static config rules + the rules
+        of `hosts` (this round's frontier hosts). Parsed matchers are
+        memoized (bounded) so recurring hosts don't re-parse."""
+        found = self.get_texts(sorted(set(hosts)))
+        rt = RobotsTable(dict(config_raw), agent)
+        for h, txt in found.items():
+            rules = self._memo.get(h)
+            if rules is None:
+                rules = RobotsRules.from_text(txt, agent)
+                if len(self._memo) >= self._memo_cap:
+                    self._memo.pop(next(iter(self._memo)))
+                self._memo[h] = rules
+            rt.raw[h] = txt
+            rt.rules[h] = rules
+        return rt

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
-from engine.util import cached_get, cluster_cpus, scaled_buckets
+from engine.util import cached_get, cluster_cpus, read_parquet_clean, scaled_buckets
 
 _scaled_buckets = scaled_buckets  # local alias (worker pickle-by-value)
 
@@ -41,11 +41,11 @@ def _conc(n=None):
 
 
 def _docs(sf_dir: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _emb(sf_dir: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -799,9 +799,10 @@ def kmeans_fit(emb_ds, k: int = 16, iters: int = 3) -> np.ndarray:
     k-means): each map_batches task emits only (centroid_id, vec_sum,
     count) partials — k×d floats per block — and the driver reduces
     them, so the data never leaves the workers and the driver state is
-    O(k·d) regardless of corpus size. Deterministic: init = first k
-    rows, fixed iteration count, no RNG."""
-    init = emb_ds.limit(k).to_pandas()
+    O(k·d) regardless of corpus size. Deterministic: init = the k rows
+    with the SMALLEST vec_id (a bare limit() depends on block arrival
+    order under streaming execution), fixed iteration count, no RNG."""
+    init = emb_ds.sort("vec_id").limit(k).to_pandas()
     cents = np.asarray(init["embedding"].tolist(), dtype=np.float64)
     nrm = np.linalg.norm(cents, axis=1, keepdims=True)
     nrm[nrm == 0] = 1.0
@@ -911,7 +912,7 @@ def ann_query_index(index_dir: str, probe_vec: np.ndarray, k: int = 10,
         d = pathlib.Path(index_dir) / "lists" / f"list_id={int(p)}"
         if d.exists():
             paths.extend(str(f) for f in sorted(d.glob("*.parquet")))
-    ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(paths, columns=["vec_id", "embedding"])
 
     def score(t: pa.Table) -> pa.Table:
         unit = _unit_rows(t)
@@ -1037,7 +1038,7 @@ def ann_topk_full(sf_dir: str, k: int = 10):
 
     idx = _ensure_ann_index(sf_dir)
     lists = sorted((pathlib.Path(idx) / "lists").glob("list_id=*/*.parquet"))
-    ds = rd.read_parquet([str(p) for p in lists], columns=["vec_id", "embedding"])
+    ds = read_parquet_clean([str(p) for p in lists], columns=["vec_id", "embedding"])
 
     def score(t: pa.Table) -> pa.Table:
         return cosine_fixed6_topk_batch(t, k)

@@ -29,6 +29,42 @@ def cached_get(ref):
     return val
 
 
+def strip_schema_metadata(t):
+    """Drop schema-level metadata from an Arrow batch (zero-copy).
+
+    The driver-generated testdata parquet carries pandas metadata in
+    its schema, and a pa.Schema whose metadata holds a dict is
+    UNHASHABLE — every Ray schema-unification then logs 'Failed to
+    hash the schemas (for deduplication)' and skips dedup. Applied as
+    a fused map_batches right after read_parquet."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def read_parquet_clean(path, columns=None):
+    """read_parquet + schema-metadata strip (see strip_schema_metadata).
+
+    The stripped schema is also passed to read_parquet itself
+    (projected to `columns`) so schema unification INSIDE the read
+    task — which runs before any fused map stage — never sees the
+    unhashable metadata either."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    first = path[0] if isinstance(path, (list, tuple)) else path
+    kw = {}
+    try:
+        fs = pq.read_schema(first).remove_metadata()
+        if columns is not None:
+            fs = pa.schema([fs.field(c) for c in columns])
+        kw["schema"] = fs
+    except Exception:
+        pass  # odd layouts: fall back to the post-read strip alone
+    return rd.read_parquet(path, columns=columns, **kw).map_batches(
+        strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def cluster_cpus() -> int:
     """Total cluster CPUs (from the live Ray cluster when initialised,
     else this host's affinity mask). Callable from driver or worker;

@@ -261,6 +261,20 @@ def test_robots_discovered_from_crawl(ray_session, tmp_path, cutoff):
     assert f"{ROB_B}/secret" not in urls and f"{ROB_B}/secret2" not in urls
     assert f"{ROB_B}/robots.txt" not in urls  # out-of-band, never scheduled
     assert any(m["robots_blocked"] > 0 for m in res.metrics)
+    # §4.3 layout: per-round robots subset checkpointed as parquet,
+    # and the round that gated host-b recorded its discovered rules
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    rob_parts = sorted(
+        pathlib.Path(res.out_dir).glob("robots/round=*/robots.parquet")
+    )
+    assert rob_parts
+    hosts_seen = set()
+    for p in rob_parts:
+        hosts_seen |= set(pq.read_table(p, columns=["host"])["host"].to_pylist())
+    assert "site-b.example" in hosts_seen
 
 
 def test_robots_discovery_survives_resume(ray_session, tmp_path):
