@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": ops.sessionize,
         "window_rank": ops.window_rank,
         "percentile_disc": ops.percentile_disc,
+        "asof_join": ops.asof_join,
         "vector_topk": ops.vector_topk,
         # --- training-data pipeline ops (textops) ---
         "token_count": textops.token_count,
@@ -114,7 +115,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered per table). Float
     aggregates use exact fixed-point (scale to int64 "cents", sum,
     divide last — see engine.ops._cents) mirrored in the SQL so both
-    sides produce bit-identical doubles. 29 of the 39 queries() entries
+    sides produce bit-identical doubles. 30 of the 40 queries() entries
     are oracle-checked; the 10 rows-only ops (the dedup-pair family,
     approximate ANN, kmeans, fingerprints, crawl_trace) are
     deliberately omitted — not SQL-expressible (LSH / iterative /
@@ -278,6 +279,18 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
             "FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') "
             "WHERE rn = 1"
+        ),
+        # explicit window formulation instead of DuckDB's native ASOF
+        # JOIN so the tie-break (min shipdate, then min linenumber) is
+        # pinned on both sides
+        "asof_join": (
+            "SELECT o_orderkey, o_custkey, o_orderdate, l_linenumber, "
+            "l_shipdate FROM (SELECT o.o_orderkey, o.o_custkey, "
+            "o.o_orderdate, l.l_linenumber, l.l_shipdate, "
+            "row_number() OVER (PARTITION BY o.o_orderkey "
+            "ORDER BY l.l_shipdate, l.l_linenumber) AS rn "
+            "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate >= o.o_orderdate) WHERE rn = 1"
         ),
         "window_rank": (
             "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("

@@ -116,3 +116,92 @@ def semi_anti_bucketed(left_ds, right_ds, on: str, right_on: str | None = None,
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def asof_join_bucketed(left_ds, right_ds, on_left: str, on_right: str,
+                       ts_left: str, ts_right: str, tiebreak: str,
+                       direction: str = "backward",
+                       num_buckets: int | None = None):
+    """Distributed inner AS-OF join: each left row is matched to the
+    right row with the same key and the LARGEST `ts_right` <=
+    `ts_left` (direction="backward"; ties on ts broken by the largest
+    `tiebreak` value) or the SMALLEST `ts_right` >= `ts_left`
+    (direction="forward"; ties by smallest `tiebreak`) — fully
+    deterministic and SQL-mirrorable via a row_number window.
+
+    Same shape as semi_anti_bucketed: both sides are tagged with
+    bucket = mix64(key) % num_buckets and unioned (rows padded with
+    nulls to the combined schema), then ONE groupby co-locates each
+    bucket, where a vectorized pandas merge_asof does the per-key
+    backward search — no per-key map_groups group, no driver
+    materialization, one all-to-all. Left and right column names must
+    be disjoint except the key columns."""
+    import pandas as pd
+
+    if num_buckets is None:
+        num_buckets = scaled_buckets(512)
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    lnames = list(lschema.names)
+    ltypes = {n: lschema.base_schema.field(n).type for n in lschema.names}
+    rtypes = {n: rschema.base_schema.field(n).type for n in rschema.names}
+    out_rnames = [n for n in rschema.names if n != on_right]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {n: t[n].combine_chunks() for n in lnames}
+        n = t.num_rows
+        for rn_ in out_rnames:
+            cols[rn_] = pa.nulls(n, rtypes[rn_])
+        out = pa.table(cols)
+        out = out.append_column("__bucket", _bucket_of(t[on_left], num_buckets))
+        return out.append_column("__side", pa.array(np.zeros(n, np.int8)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for ln_ in lnames:
+            if ln_ == on_left:
+                cols[ln_] = t[on_right].combine_chunks().cast(ltypes[on_left])
+            else:
+                cols[ln_] = pa.nulls(n, ltypes[ln_])
+        for rn_ in out_rnames:
+            cols[rn_] = t[rn_].combine_chunks()
+        out = pa.table(cols)
+        out = out.append_column("__bucket", _bucket_of(t[on_right], num_buckets))
+        return out.append_column("__side", pa.array(np.ones(n, np.int8)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == 0, lnames]
+        r = g.loc[g["__side"] == 1, [on_left] + out_rnames].rename(
+            columns={on_left: on_right} if on_right != on_left else {}
+        )
+        key_r = on_right if on_right != on_left else on_left
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(columns=lnames + out_rnames)
+        # merge_asof: right sorted by (ts, tiebreak); backward takes
+        # the LAST qualifying row (max ts, then max tiebreak — mirrors
+        # ORDER BY ts DESC, tiebreak DESC ... rn = 1), forward the
+        # FIRST (min ts, min tiebreak — ORDER BY ts, tiebreak rn = 1)
+        l = l.sort_values(ts_left, kind="mergesort")
+        r = r.sort_values([ts_right, tiebreak], kind="mergesort")
+        m = pd.merge_asof(
+            l, r, left_on=ts_left, right_on=ts_right,
+            left_by=on_left, right_by=key_r, direction=direction,
+        )
+        m = m[m[ts_right].notna()]  # inner
+        m = m[lnames + out_rnames]
+        # the outer merge turned nullable int right columns into
+        # float64; restore the declared types now that nulls are gone
+        for rn_ in out_rnames:
+            if pa.types.is_integer(rtypes[rn_]):
+                m[rn_] = m[rn_].astype("int64")
+        return m
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return (
+        tagged.groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(lnames + out_rnames)
+    )

@@ -574,6 +574,27 @@ def window_rank(sf_dir: str, k: int = 3):
     )
 
 
+# --------------------------------------------------------- asof_join
+def asof_join(sf_dir: str):
+    """Two-table AS-OF join (the driver-instruction custom operator —
+    asof_latest/B17 is the one-table per-key-latest variant): each
+    order matched to its FIRST lineitem shipped at/after the order
+    date (forward as-of on l_orderkey; ties on shipdate broken by
+    l_linenumber, fully deterministic). Distributed form:
+    engine.joins.asof_join_bucketed — both sides co-partitioned on
+    mix64(key) buckets, vectorized merge_asof per bucket, one
+    all-to-all, nothing on the driver."""
+    from engine.joins import asof_join_bucketed
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    items = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"])
+    return asof_join_bucketed(
+        orders, items, on_left="o_orderkey", on_right="l_orderkey",
+        ts_left="o_orderdate", ts_right="l_shipdate",
+        tiebreak="l_linenumber", direction="forward",
+    )
+
+
 # ------------------------------------------------- percentile_group
 def percentile_disc(sf_dir: str):
     """Exact discrete median per group (the rank-based percentile a
