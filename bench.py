@@ -55,6 +55,10 @@ def _bench_once(num_cpus: int, sf_dir: str, crawl_only: bool,
         import __ray_entry__ as em
 
         qs = em.queries()
+        # untimed warm-up: the first pipeline of a fresh session pays
+        # worker-pool spin-up (~2s) that would otherwise be billed to
+        # whichever query happens to run first
+        qs["agg_global"](sf_dir).to_pandas()
         for name in (
             "filter_project", "agg_global", "groupby_agg", "join_hash",
             "topk", "sort", "dedup_exact", "json_extract", "date_math",
