@@ -254,6 +254,7 @@ def _links_to_frontier(t: pa.Table, policy, seed_hosts: frozenset) -> pa.Table:
         if prev is None or ordtup < prev[0]:
             winners[wk] = (ordtup, (cu, k, h, d, seq, par, li))
     prio_fn = policy.priority  # None for the default-0 fast path
+    ndb = _dedup_buckets()  # hoisted: never a per-row call
     host_hash_memo: dict[str, int] = {}
     rows: dict[str, list] = {k: [] for k in (
         "url", "url_key", "host", "host_hash", "depth", "priority",
@@ -284,7 +285,7 @@ def _links_to_frontier(t: pa.Table, policy, seed_hosts: frozenset) -> pa.Table:
             "parent_url": pa.array(rows["parent_url"], pa.string()),
             "link_index": pa.array(rows["link_index"], pa.int32()),
             "bucket": pa.array(
-                [key64(k) % _dedup_buckets() for k in rows["url_key"]], pa.int32()
+                [key64(k) % ndb for k in rows["url_key"]], pa.int32()
             ),
         }
     )

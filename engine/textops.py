@@ -447,17 +447,25 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7):
     return _verify_pairs_copart(pairs, docs, _word_jaccard, threshold)
 
 
+_SIM_SHIFTS = np.arange(64, dtype=np.uint64)
+_SIM_POW2 = np.uint64(1) << _SIM_SHIFTS
+
+
 def _simhash64(s: str) -> int:
-    v = np.zeros(64, dtype=np.int64)
-    for w in s.split():
-        h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        v += 2 * bits - 1
-    out = 0
-    for i in range(64):
-        if v[i] > 0:
-            out |= 1 << i
-    return out
+    """64-bit SimHash of the word multiset: sign of the per-bit sum of
+    ±1 contributions from each word's md5-derived 64-bit hash. The bit
+    matrix is built in ONE numpy broadcast per doc (the per-word
+    Python shift loop this replaces was the stage cost)."""
+    ws = s.split()
+    if not ws:
+        return 0
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") for w in ws),
+        dtype=np.uint64, count=len(ws),
+    )
+    nbits = ((hs[:, None] >> _SIM_SHIFTS) & np.uint64(1)).sum(axis=0)
+    v = 2 * nbits.astype(np.int64) - len(ws)
+    return int(np.bitwise_or.reduce(np.where(v > 0, _SIM_POW2, np.uint64(0))))
 
 
 _POPCOUNT_TABLE = np.unpackbits(

@@ -133,6 +133,49 @@ def test_scaled_buckets_rule(ray_session):
     assert sorted(small.to_pandas()["v"].tolist()) == list(range(0, 40, 4))
 
 
+def test_asof_join_bucketed_backward(ray_session):
+    """Backward as-of (latest right row at/before each left ts, ties
+    by max tiebreak) against a driver-side reference; includes
+    left rows with no match (dropped — inner) and exact-ts ties."""
+    import numpy as np
+    import ray.data as rd
+
+    from engine.joins import asof_join_bucketed
+
+    rng = np.random.default_rng(5)
+    left_rows = [
+        {"lid": i, "key": int(rng.integers(0, 6)), "lts": int(rng.integers(0, 100))}
+        for i in range(60)
+    ]
+    right_rows = [
+        {"rid": j, "rkey": int(rng.integers(0, 6)), "rts": int(rng.integers(0, 100)),
+         "payload": float(j) * 1.5}
+        for j in range(40)
+    ]
+    got = (
+        asof_join_bucketed(
+            rd.from_items(left_rows), rd.from_items(right_rows),
+            on_left="key", on_right="rkey", ts_left="lts", ts_right="rts",
+            tiebreak="rid", direction="backward", num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = {}
+    for l in left_rows:
+        best = None
+        for r in right_rows:
+            if r["rkey"] == l["key"] and r["rts"] <= l["lts"]:
+                if best is None or (r["rts"], r["rid"]) > (best["rts"], best["rid"]):
+                    best = r
+        if best is not None:
+            want[l["lid"]] = (best["rid"], best["rts"], best["payload"])
+    assert sorted(got["lid"].tolist()) == sorted(want)
+    for row in got.itertuples():
+        assert (row.rid, row.rts, row.payload) == want[row.lid]
+
+
 def test_resume_config_mismatch_raises(ray_session, tmp_path):
     from engine.crawl import run_crawl
     from engine.oracle import CrawlConfig
