@@ -635,6 +635,87 @@ def _seed_frontier_distributed(crawl: CrawlConfig) -> pa.Table:
     return tbl
 
 
+def prepare_seed_frontier(seeds_ds, crawl: CrawlConfig, pool: SeenPool,
+                          out_dir: str) -> int:
+    """Distributed seed ingestion — the 10^8-seed path where even the
+    seed list must not live on the driver. `seeds_ds` is a Dataset (or
+    parquet path) with a `url` column. Each map task canonicalizes,
+    sha1-keys and locally dedups its batch (semantics byte-identical
+    to _seed_frontier: depth 0, priority_of(url, 0), seq =
+    discovery_seq(0, key) — no link policy filtering, seeds are always
+    admitted); the seen pool registers keys in-pipeline (round -1);
+    one coarse bucket groupby picks the canonical row per url_key; and
+    the groupby's tasks write the round-0 frontier parts — nothing
+    seed-sized ever lands on the driver. Follow with
+    run_crawl(..., pool=pool, seeded_on_disk=True). Returns the
+    deduped frontier row count (from parquet metadata)."""
+    import ray.data as rd
+
+    from engine.util import read_parquet_clean
+
+    if isinstance(seeds_ds, str):
+        seeds_ds = read_parquet_clean(seeds_ds, columns=["url"])
+    policy = crawl.policy
+    ndb = _dedup_buckets()
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {k: [] for k in (
+            "url", "url_key", "host", "host_hash", "depth", "priority",
+            "discovery_seq", "parent_url", "link_index", "bucket")}
+        hh_memo: dict[str, int] = {}
+        local_seen: set[bytes] = set()
+        for s in t["url"].to_pylist():
+            cu = canonicalize_url(s)
+            k = sha1_key(cu)
+            if k in local_seen:  # identical rows — any winner is equal
+                continue
+            local_seen.add(k)
+            h = host_of(cu)
+            hh = hh_memo.get(h)
+            if hh is None:
+                hh = host_hash64(h)
+                hh_memo[h] = hh
+            rows["url"].append(cu)
+            rows["url_key"].append(k)
+            rows["host"].append(h)
+            rows["host_hash"].append(hh)
+            rows["depth"].append(0)
+            rows["priority"].append(policy.priority_of(cu, 0))
+            rows["discovery_seq"].append(discovery_seq(0, k))
+            rows["parent_url"].append("")
+            rows["link_index"].append(0)
+            rows["bucket"].append(key64(k) % ndb)
+        return pa.table(
+            {
+                "url": pa.array(rows["url"], pa.string()),
+                "url_key": pa.array(rows["url_key"], pa.binary(20)),
+                "host": pa.array(rows["host"], pa.string()),
+                "host_hash": pa.array(rows["host_hash"], pa.uint64()),
+                "depth": pa.array(rows["depth"], pa.int32()),
+                "priority": pa.array(rows["priority"], pa.int32()),
+                "discovery_seq": pa.array(rows["discovery_seq"], pa.int64()),
+                "parent_url": pa.array(rows["parent_url"], pa.string()),
+                "link_index": pa.array(rows["link_index"], pa.int32()),
+                "bucket": pa.array(rows["bucket"], pa.int32()),
+            }
+        )
+
+    fdir = pathlib.Path(out_dir) / "frontier" / "round=0"
+    fdir.mkdir(parents=True, exist_ok=True)
+    (
+        seeds_ds.map_batches(key_rows, batch_format="pyarrow")
+        .map_batches(
+            seen_filter_fn(pool.actors, pool.num_shards, -1),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")  # cross-task dedup (same-round keys all
+        .map_groups(_dedup_first, batch_format="pyarrow")  # pass seen)
+        .drop_columns(["link_index", "bucket"])
+        .write_parquet(str(fdir))
+    )
+    return parquet_num_rows(fdir)
+
+
 def _config_hash(crawl: CrawlConfig) -> str:
     # STATE-affecting config only: max_rounds is deliberately excluded
     # (it is a loop bound — resuming a 2-round checkpoint with
@@ -659,10 +740,14 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
               pool: SeenPool | None = None, resume: bool = False,
               fetch_mode: str = "broadcast",
               schedule_cutoff_rows: int = 2_000_000,
-              initial_frontier: "pa.Table | None" = None) -> CrawlResult:
+              initial_frontier: "pa.Table | None" = None,
+              seeded_on_disk: bool = False) -> CrawlResult:
     """pages_ds: ray.data.Dataset of the pages table (or pa.Table).
     Returns after the frontier drains or max_rounds. The passed-in
-    `pool` (or a fresh one) holds the final seen set."""
+    `pool` (or a fresh one) holds the final seen set. seeded_on_disk:
+    the caller already wrote out/frontier/round=0 and registered its
+    keys (prepare_seed_frontier — the no-driver-materialization seed
+    path); crawl.seeds is ignored then."""
     import ray
     import ray.data as rd
 
@@ -692,6 +777,16 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
     if policy.same_host_only:
         if initial_frontier is not None:
             seed_hosts = frozenset(initial_frontier["host"].to_pylist())
+        elif seeded_on_disk:
+            # bounded by DISTINCT seed hosts (not seed count); a
+            # same_host_only policy needs this set on every worker
+            # anyway, so driver-side here is the broadcast build
+            hosts: set = set()
+            for p in (out / "frontier" / "round=0").glob("*.parquet"):
+                hosts |= set(
+                    pq.read_table(p, columns=["host"])["host"].to_pylist()
+                )
+            seed_hosts = frozenset(hosts)
         else:
             seed_hosts = frozenset(host_of(canonicalize_url(s)) for s in crawl.seeds)
     else:
@@ -732,6 +827,12 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
         res.total_scheduled = man.get("total_scheduled", 0)
         res.total_fetched = man.get("total_fetched", 0)
         res.total_errors = man.get("total_errors", 0)
+    elif seeded_on_disk:
+        # prepare_seed_frontier already wrote round-0 parts and
+        # registered their keys in `pool` — rounds read from parquet
+        start_round = 0
+        frontier_tbl = None
+        f0_writer = None
     else:
         start_round = 0
         if initial_frontier is not None:

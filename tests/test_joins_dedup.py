@@ -176,6 +176,38 @@ def test_asof_join_bucketed_backward(ray_session):
         assert (row.rid, row.rts, row.payload) == want[row.lid]
 
 
+def test_prepare_seed_frontier_matches_inline(ray_session, tmp_path):
+    """The no-driver-materialization seed path (prepare_seed_frontier
+    + seeded_on_disk) produces a byte-identical crawl to the inline
+    seeds tuple, including duplicate seeds."""
+    import ray.data as rd
+
+    from engine.crawl import prepare_seed_frontier, run_crawl
+    from engine.oracle import CrawlConfig
+    from engine.seen import SeenPool
+    from engine.synth import SynthConfig, build_pages_table, page_url
+
+    pages = build_pages_table(SynthConfig(n_hosts=4, n_pages=80))
+    seeds = [page_url(0, 0), page_url(1, 0), page_url(0, 0),  # dup
+             page_url(2, 0)]
+    a = run_crawl(
+        pages,
+        CrawlConfig(seeds=tuple(seeds), budget_per_host=3, max_rounds=5),
+        str(tmp_path / "inline"),
+    )
+    crawl_b = CrawlConfig(seeds=(), budget_per_host=3, max_rounds=5)
+    pool = SeenPool(crawl_b.num_shards)
+    out_b = str(tmp_path / "dist")
+    n = prepare_seed_frontier(
+        rd.from_items([{"url": u} for u in seeds]), crawl_b, pool, out_b
+    )
+    assert n == 3  # duplicate seed deduped
+    b = run_crawl(pages, crawl_b, out_b, pool=pool, seeded_on_disk=True)
+    ta = [(r["round"], r["url"], r["status"]) for r in a.trace()]
+    tb = [(r["round"], r["url"], r["status"]) for r in b.trace()]
+    assert ta == tb and len(ta) > 3
+
+
 def test_resume_config_mismatch_raises(ray_session, tmp_path):
     from engine.crawl import run_crawl
     from engine.oracle import CrawlConfig
