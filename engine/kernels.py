@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import hashlib
 import re
+from html import parser as _hp
+from html import unescape as _unescape
 from html.parser import HTMLParser
 from urllib.parse import urljoin, urlsplit
 
@@ -191,6 +193,21 @@ def _collapse(m: re.Match) -> str:
     return "\n" if _BREAK in m.group(0) else " "
 
 
+# Callback-free equivalent of _WS_RUN.sub(_collapse, s).strip(): by
+# construction every \x00 in the joined parts is a break marker (data
+# parts had literal \x00 stripped by handle_data), so a run containing
+# one collapses to "\n" (pass 1+3) and any other whitespace run to " "
+# (pass 2). Equality with the callback form is fixture- and fuzz-locked.
+_WS_RUN_NUL = re.compile("[ \t\r\n\f\v\u00a0]*\x00[ \t\r\n\f\v\x00\u00a0]*")
+_WS_RUN_PLAIN = re.compile("[ \t\r\n\f\v\u00a0]+")
+
+
+def _collapse_text(joined: str) -> str:
+    joined = _WS_RUN_NUL.sub("\x00", joined)
+    joined = _WS_RUN_PLAIN.sub(" ", joined)
+    return joined.replace("\x00", "\n").strip()
+
+
 def extract_text(html: bytes | str) -> str:
     """Visible-text extraction (InnerText-style, block-element newlines).
 
@@ -205,13 +222,8 @@ def extract_text(html: bytes | str) -> str:
     """
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", "replace")
-    p = _TextExtractor()
-    try:
-        p.feed(html)
-        p.close()
-    except Exception:
-        pass  # malformed input: keep whatever was parsed (deterministic)
-    return _WS_RUN.sub(_collapse, "".join(p.parts)).strip()
+    parts, _ = _page_events(html)
+    return _collapse_text("".join(parts))
 
 
 # ---------------------------------------------------------------------------
@@ -255,19 +267,19 @@ def extract_links(html: bytes | str, base_url: str) -> list[tuple[str, str, int]
     runs before A6 canonicalize in the pipeline)."""
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", "replace")
-    p = _LinkExtractor()
-    try:
-        p.feed(html)
-        p.close()
-    except Exception:
-        pass
+    _, links = _page_events(html)
+    return _resolve_links(links, base_url)
+
+
+def _resolve_links(links: list[tuple[str, str]], base_url: str) -> list[tuple[str, str, int]]:
+    ctx = _base_ctx(base_url)
     out: list[tuple[str, str, int]] = []
-    for raw, kind in p.links:
+    for raw, kind in links:
         h = raw.strip()
         if not h or h.startswith("#") or h.lower().startswith(_BAD_SCHEMES):
             continue
         try:
-            absu = urljoin(base_url, h)
+            absu = _fast_urljoin(ctx, base_url, h)
         except ValueError:
             continue
         out.append((absu, kind, len(out)))
@@ -378,11 +390,419 @@ class _PageExtractor(HTMLParser):
             self.parts.append(_BREAK)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        self.handle_starttag(tag, attrs)
+        # Mirrors the SEPARATE extractors' semantics exactly: a
+        # self-closing tag emits a block break / collects links but
+        # never touches the skip counter (a `<script/>` has no body to
+        # skip — routing through handle_starttag here would leak a
+        # permanent _skip increment and drop the rest of the page).
+        if tag in _BLOCK_TAGS:
+            self.parts.append(_BREAK)
+        if tag == "a" or tag in _PREREQ_ATTRS:
+            d = dict(attrs)
+            if tag == "a":
+                href = d.get("href")
+                if href:
+                    self.links.append((href, "link"))
+            else:
+                v = d.get(_PREREQ_ATTRS[tag])
+                if v:
+                    self.links.append((v, "prereq"))
 
     def handle_data(self, data: str) -> None:
         if not self._skip and data:
             self.parts.append(data.replace(_BREAK, ""))
+
+
+# ---------------------------------------------------------------------------
+# Fast single-pass page scanner — EXACT HTMLParser(feed+close) equivalent
+# ---------------------------------------------------------------------------
+# The crawl's fused fetch stage spends ~54% of its parse time inside
+# stdlib HTMLParser's per-event Python dispatch. This scanner produces
+# the identical (text parts, raw links) event stream in one pass with a
+# "clean tag" fast regex for well-formed markup and STDLIB-VERBATIM
+# branch logic (reusing html.parser's own compiled regexes) for
+# everything else. The only construct it refuses is `<![` marked
+# sections, where it returns None and the caller re-runs the page
+# through the reference _PageExtractor. Equality with the stdlib-based
+# classes is locked by the extract fixtures, test_fast_scan_* and a
+# hypothesis differential fuzzer in tests/test_kernels.py.
+
+_COMMENT_CLOSE = re.compile(r"--\s*>")
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
+}
+# Subset grammar of html.parser's tolerant tag regexes: whenever this
+# matches, the stdlib parse is guaranteed to (a) match the same span and
+# (b) produce the same (tag, attrs, start/startend) event. Anything
+# trickier (odd attr separators, '==', quotes mid-value, '/' between
+# attrs, exotic tag-name chars) falls through to the verbatim slow path.
+_CLEAN_TAG = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[^\s/=>]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|(?!=)[^>\s'\"]*))?)*)"
+    r"\s*(/?)>"
+)
+_CLEAN_ATTR = re.compile(
+    r"\s+([^\s/=>]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|(?!=)[^>\s'\"]*))?"
+)
+_NEED_ATTRS = frozenset(("a", "img", "script", "link"))
+_LETTERS_EQ_SLASH = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _scan_page(s: str) -> tuple[list[str], list[tuple[str, str]]] | None:
+    """(text parts, [(raw_href, kind)]) with byte-identical semantics to
+    _PageExtractor().feed(s); close(). Returns None on `<![` marked
+    sections (caller falls back to the stdlib-based class)."""
+    n = len(s)
+    i = 0
+    parts: list[str] = []
+    links: list[tuple[str, str]] = []
+    skip = 0
+    find = s.find
+    startswith = s.startswith
+    clean_match = _CLEAN_TAG.match
+
+    def recover(k0: int) -> int:
+        # goahead's k<0 recovery with end=1 (we always see the full doc)
+        k = find(">", k0 + 1)
+        if k < 0:
+            k = find("<", k0 + 1)
+            if k < 0:
+                k = k0 + 1
+        else:
+            k += 1
+        if not skip:
+            seg = s[k0:k]
+            if "&" in seg:
+                seg = _unescape(seg)
+            parts.append(seg.replace(_BREAK, "") if _BREAK in seg else seg)
+        return k
+
+    while i < n:
+        j = find("<", i)
+        if j < 0:
+            j = n
+        if j > i and not skip:
+            seg = s[i:j]
+            if "&" in seg:
+                seg = _unescape(seg)
+            parts.append(seg.replace(_BREAK, "") if _BREAK in seg else seg)
+        i = j
+        if i == n:
+            break
+        m = clean_match(s, i)
+        if m is not None:
+            tag = m.group(1)
+            if not tag.islower():
+                tag = tag.lower()
+            selfclose = m.group(3) == "/"
+            if selfclose:
+                if tag in _BLOCK_TAGS:
+                    parts.append(_BREAK)
+            elif tag in _SKIP_TAGS:
+                skip += 1
+            elif tag in _BLOCK_TAGS:
+                parts.append(_BREAK)
+            if tag in _NEED_ATTRS:
+                want = "src" if (tag == "img" or tag == "script") else "href"
+                val = None
+                attrs_src = m.group(2)
+                if attrs_src:
+                    for am in _CLEAN_ATTR.finditer(attrs_src):
+                        if am.group(1).lower() == want:
+                            v = am.group(2)
+                            if v is not None and v[:1] in "\"'":
+                                v = v[1:-1]  # clean grammar: quotes always paired
+                            if v and "&" in v:
+                                v = _unescape(v)
+                            val = v  # dict(attrs): last occurrence wins
+                if val:
+                    links.append((val, "link" if tag == "a" else "prereq"))
+            i = m.end()
+            if not selfclose and (tag == "script" or tag == "style"):
+                cm = _CDATA_CLOSE[tag].search(s, i)
+                if cm is None:
+                    break  # unterminated cdata: rest is dropped (stdlib too)
+                if skip:
+                    skip -= 1  # the </script> endtag event
+                i = cm.end()
+            continue
+        c = s[i + 1 : i + 2]
+        if c and (("a" <= c <= "z") or ("A" <= c <= "Z")):
+            # --- verbatim parse_starttag + check_for_whole_start_tag ---
+            lm = _hp.locatestarttagend_tolerant.match(s, i)
+            jj = lm.end()
+            nxt = s[jj : jj + 1]
+            if nxt == ">":
+                endpos = jj + 1
+            elif nxt == "/":
+                endpos = jj + 2 if startswith("/>", jj) else -1
+            elif nxt == "":
+                endpos = -1
+            elif nxt in _LETTERS_EQ_SLASH:
+                endpos = -1
+            else:
+                endpos = jj if jj > i else i + 1
+            if endpos < 0:
+                i = recover(i)
+                continue
+            tm = _hp.tagfind_tolerant.match(s, i + 1)
+            k = tm.end()
+            tag = tm.group(1).lower()
+            attrs: list[tuple[str, str | None]] = []
+            while k < endpos:
+                am = _hp.attrfind_tolerant.match(s, k)
+                if not am:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif attrvalue[:1] == "'" == attrvalue[-1:] or attrvalue[:1] == '"' == attrvalue[-1:]:
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = _unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            end = s[k:endpos].strip()
+            if end not in (">", "/>"):
+                if not skip:  # handle_data of the RAW tag text (no unescape)
+                    seg = s[i:endpos]
+                    parts.append(seg.replace(_BREAK, "") if _BREAK in seg else seg)
+                i = endpos
+                continue
+            selfclose = end == "/>"
+            if selfclose:
+                if tag in _BLOCK_TAGS:
+                    parts.append(_BREAK)
+            elif tag in _SKIP_TAGS:
+                skip += 1
+            elif tag in _BLOCK_TAGS:
+                parts.append(_BREAK)
+            if tag in _NEED_ATTRS:
+                d = dict(attrs)
+                want = "src" if (tag == "img" or tag == "script") else "href"
+                v = d.get(want)
+                if v:
+                    links.append((v, "link" if tag == "a" else "prereq"))
+            i = endpos
+            if not selfclose and (tag == "script" or tag == "style"):
+                cm = _CDATA_CLOSE[tag].search(s, i)
+                if cm is None:
+                    break
+                if skip:
+                    skip -= 1
+                i = cm.end()
+        elif c == "/":
+            # --- verbatim parse_endtag (never in cdata mode here) ---
+            gt = find(">", i + 1)
+            if gt < 0:
+                i = recover(i)
+                continue
+            em = _hp.endtagfind.match(s, i)
+            if em:
+                tag = em.group(1).lower()
+                if tag in _SKIP_TAGS:
+                    if skip:
+                        skip -= 1
+                elif tag in _BLOCK_TAGS:
+                    parts.append(_BREAK)
+                i = gt + 1
+                continue
+            nm = _hp.tagfind_tolerant.match(s, i + 2)
+            if not nm:
+                if s[i : i + 3] == "</>":
+                    i += 3
+                else:  # bogus comment: skip to '>' (exists: gt >= i+2)
+                    i = find(">", i + 2) + 1
+                continue
+            tag = nm.group(1).lower()
+            if tag in _SKIP_TAGS:
+                if skip:
+                    skip -= 1
+            elif tag in _BLOCK_TAGS:
+                parts.append(_BREAK)
+            i = find(">", nm.end()) + 1  # '>' exists: tag name can't span one
+        elif startswith("<!--", i):
+            cm2 = _COMMENT_CLOSE.search(s, i + 4)
+            i = recover(i) if cm2 is None else cm2.end()
+        elif c == "?":
+            p = find(">", i + 2)
+            i = recover(i) if p < 0 else p + 1
+        elif c == "!":
+            if startswith("<![", i):
+                return None  # marked section: stdlib fallback
+            if s[i : i + 9].lower() == "<!doctype":
+                p = find(">", i + 9)
+                i = recover(i) if p < 0 else p + 1
+            else:  # bogus comment
+                p = find(">", i + 2)
+                i = recover(i) if p < 0 else p + 1
+        else:
+            # lone '<' is data ('<' at EOF lands here too via end=1 tail)
+            if not skip:
+                parts.append("<")
+            i += 1
+    return parts, links
+
+
+def _page_events(html: str) -> tuple[list[str], list[tuple[str, str]]]:
+    try:
+        r = _scan_page(html)
+    except Exception:
+        r = None
+    if r is None:
+        p = _PageExtractor()
+        try:
+            p.feed(html)
+            p.close()
+        except Exception:
+            pass  # malformed input: keep whatever was parsed (deterministic)
+        return p.parts, p.links
+    return r
+
+
+# ---------------------------------------------------------------------------
+# Fast urljoin — exact stdlib-equivalent with a per-page pre-split base
+# ---------------------------------------------------------------------------
+# urljoin() re-parses the base for every link (~32% of page parse time).
+# _BaseCtx caches the split ONCE per page; _fast_urljoin replicates the
+# stdlib algorithm for the common href shapes and delegates anything
+# subtle (params ';', exotic schemes, empty query/fragment quirks,
+# bracketed netlocs, embedded tab/CR/LF) to the real urljoin. Equality
+# is locked by a hypothesis differential test.
+
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
+
+
+class _BaseCtx:
+    __slots__ = ("scheme", "netloc", "path", "query", "prefix", "dhead", "dtail")
+
+    def __init__(self, scheme: str, netloc: str, path: str, query: str) -> None:
+        self.scheme = scheme
+        self.netloc = netloc
+        self.path = path
+        self.query = query
+        self.prefix = scheme + "://" + netloc
+        d = path.split("/")
+        if d[-1] != "":
+            del d[-1]
+        if not d:
+            d = [""]
+        self.dhead = d[0]
+        self.dtail = [x for x in d[1:] if x]
+
+
+# Common crawl base shape: lowercase http(s), bracket-free netloc, no
+# embedded tab/CR/LF (urlsplit would remove them) — parsed with one
+# anchored regex instead of a full urlsplit.
+_BASE_FAST = re.compile(
+    r"(https?)://([^/?#\[\]\t\r\n]+)([^?#\t\r\n]*)(?:\?([^#\t\r\n]*))?(?:#[^\t\r\n]*)?\Z"
+)
+
+
+def _base_ctx(base_url: str) -> _BaseCtx | None:
+    m = _BASE_FAST.match(base_url)
+    if m is not None:
+        return _BaseCtx(m.group(1), m.group(2), m.group(3), m.group(4) or "")
+    try:
+        sp = urlsplit(base_url)
+    except ValueError:
+        return None
+    if sp.scheme not in ("http", "https") or not sp.netloc:
+        return None
+    return _BaseCtx(sp.scheme, sp.netloc, sp.path, sp.query)
+
+
+def _fast_urljoin(ctx: _BaseCtx | None, base: str, h: str) -> str:
+    if ctx is None or not h or h[0] <= " " or "\t" in h or "\r" in h or "\n" in h:
+        # leading C0-control/space is lstripped by urlsplit (WHATWG);
+        # embedded tab/CR/LF removed everywhere — let stdlib do those
+        return urljoin(base, h)
+    c0 = h[0]
+    if c0 in "hH" and (h.startswith("http://") or h.startswith("https://")):
+        sch, rest = ("http", h[7:]) if h[4] == ":" else ("https", h[8:])
+        e = len(rest)
+        for d in "/?#":
+            p = rest.find(d)
+            if 0 <= p < e:
+                e = p
+        netloc = rest[:e]
+        if not netloc or "[" in netloc or "]" in netloc:
+            return urljoin(base, h)
+        if sch != ctx.scheme:
+            return h  # stdlib: scheme mismatch returns the href verbatim
+        t = rest[e:]
+        f = t.find("#")
+        frag = t[f + 1 :] if f >= 0 else None
+        t2 = t[:f] if f >= 0 else t
+        q = t2.find("?")
+        query = t2[q + 1 :] if q >= 0 else None
+        if frag == "" or query == "" or ";" in t2:
+            return urljoin(base, h)  # empty-component drop / params quirks
+        return h
+    if ":" in h and _SCHEME_RE.match(h):
+        return urljoin(base, h)
+    f = h.find("#")
+    if f >= 0:
+        frag = h[f + 1 :]
+        hq = h[:f]
+    else:
+        frag = ""
+        hq = h
+    q = hq.find("?")
+    if q >= 0:
+        query = hq[q + 1 :]
+        p = hq[:q]
+    else:
+        query = ""
+        p = hq
+    if ";" in p:
+        return urljoin(base, h)
+    if p.startswith("//"):
+        sl = p.find("/", 2)
+        netloc = p[2:sl] if sl >= 0 else p[2:]
+        if not netloc or "[" in netloc or "]" in netloc:
+            return urljoin(base, h)
+        out = ctx.scheme + "://" + netloc + (p[sl:] if sl >= 0 else "")
+        if query:
+            out += "?" + query
+        if frag:
+            out += "#" + frag
+        return out
+    if not p:
+        out = ctx.prefix + ctx.path
+        qq = query if query else ctx.query  # stdlib: empty query inherits base's
+        if qq:
+            out += "?" + qq
+        if frag:
+            out += "#" + frag
+        return out
+    if c0 == "/":
+        segs = p.split("/")
+    else:
+        ps = p.split("/")
+        if len(ps) > 1:
+            segs = [ctx.dhead] + ctx.dtail + [x for x in ps[:-1] if x] + [ps[-1]]
+        else:
+            segs = [ctx.dhead] + ctx.dtail + ps
+    res: list[str] = []
+    for sg in segs:
+        if sg == "..":
+            if res:
+                res.pop()
+        elif sg != ".":
+            res.append(sg)
+    if segs[-1] in (".", ".."):
+        res.append("")
+    path = "/".join(res) or "/"
+    if path[0] != "/":
+        path = "/" + path
+    out = ctx.prefix + path
+    if query:
+        out += "?" + query
+    if frag:
+        out += "#" + frag
+    return out
 
 
 LINKS_TYPE = pa.list_(
@@ -394,24 +814,9 @@ def extract_page(html: bytes | str, base_url: str) -> tuple[str, list[tuple[str,
     """(extract_text(html), extract_links(html, base_url)) in ONE parse."""
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", "replace")
-    p = _PageExtractor()
-    try:
-        p.feed(html)
-        p.close()
-    except Exception:
-        pass
-    text = _WS_RUN.sub(_collapse, "".join(p.parts)).strip()
-    out: list[tuple[str, str, int]] = []
-    for raw, kind in p.links:
-        h = raw.strip()
-        if not h or h.startswith("#") or h.lower().startswith(_BAD_SCHEMES):
-            continue
-        try:
-            absu = urljoin(base_url, h)
-        except ValueError:
-            continue
-        out.append((absu, kind, len(out)))
-    return text, out
+    parts, links = _page_events(html)
+    text = _collapse_text("".join(parts))
+    return text, _resolve_links(links, base_url)
 
 
 def extract_page_batch(t: pa.Table, html_col: str = "html",

@@ -154,3 +154,140 @@ def test_combined_page_extractor_equals_separate():
         t, l = extract_page(html, u)
         assert t == extract_text(html)
         assert l == extract_links(html, u)
+
+
+# ---------------------------------------------------------------------------
+# Fast-scanner / fast-urljoin differential locks
+# ---------------------------------------------------------------------------
+
+def _reference_page(html, base_url):
+    """Stdlib-HTMLParser-based reference: the behavior the fast scanner
+    in kernels._scan_page must reproduce byte-for-byte."""
+    import engine.kernels as K
+    from urllib.parse import urljoin
+
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", "replace")
+    p = K._PageExtractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    text = K._WS_RUN.sub(K._collapse, "".join(p.parts)).strip()
+    out = []
+    for raw, kind in p.links:
+        h = raw.strip()
+        if not h or h.startswith("#") or h.lower().startswith(K._BAD_SCHEMES):
+            continue
+        try:
+            absu = urljoin(base_url, h)
+        except ValueError:
+            continue
+        out.append((absu, kind, len(out)))
+    return text, out
+
+
+def test_fast_scan_matches_reference_on_fixtures_and_synth():
+    from engine.kernels import extract_page
+    from engine.synth import SynthConfig, build_pages_table
+
+    for f in sorted(FIX.glob("*.html")):
+        b = f.read_bytes()
+        for base in ("http://fix.example/a/b/c.html?q=1", "https://x.example"):
+            assert extract_page(b, base) == _reference_page(b, base), f.name
+    tbl = build_pages_table(SynthConfig(n_hosts=4, n_pages=60, seed=5))
+    for u, html in zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()):
+        assert extract_page(html, u) == _reference_page(html, u)
+
+
+_SOUP_FRAGMENTS = [
+    '<a href="', "<a href=", "<A HREF='", '">x</a>', "<p>", "</p>", "<br/>", "<br />",
+    "<script>", "</script>", "<script src=a.js>", "</SCRIPT >", "<style>", "</style>",
+    "<!-- c -->", "<!--", "-->", "<!doctype html>", "<!DOCTYPE", "<?pi?>", "<?",
+    '<img src="i.png"/>', "<img src=i.png>", "&amp;", "&lt;", "&#65;", "&#x41;", "&bogus;",
+    "&", "<", ">", '"', "'", "=", "/", " ", "\t", "\n", "txt", "a", "#f", "../x", "/y?q=1",
+    '<div class="a" id=b>', '<div class=a id="b">', "<span/>", "</div>", "<li>", "</li>",
+    '<a href="/p/1#s">', '<a href="http://o.example/z">', "<a href=x/>", "<a href=x />",
+    '<a href="a&amp;b">', "<a href='s p'>", "<tag-odd>", "</ x>", "</>", "<5>", "<a b=c=d>",
+    "<a href>", "<a href=>", '<a href="">', "<a =x>", '<a href="x>', "<noscript>", "</noscript>",
+    "<template>", "</template>", '<a href="x" href="y">', "\x00", "<a/ >", "<a b / c>",
+    "<![CDATA[x]]>", "<![if]>", "&#", "&#;", ";", "?q", "//h.example/p", "mailto:x@y",
+    "javascript:void(0)", "a:b", "x;y", "p/", "./", "..", ".", "http://", "https:///x", "[", "]",
+    "\xa0", "\x0b", "\f", "<pre>", "</pre>", "<a\x00b>", "<p\t>", '<a href= "x">',
+]
+
+
+def test_fast_scan_soup_differential():
+    """Deterministic fuzz: random concatenations of adversarial markup
+    fragments must parse identically via the fast scanner and the
+    stdlib-based reference classes."""
+    import random
+
+    from engine.kernels import extract_page
+
+    rng = random.Random(20260817)
+    bases = ["http://s.example/d/e/f", "https://s.example/d/", "http://s.example",
+             "http://u@h.example:8080/p?q=0"]
+    for _ in range(1500):
+        s = "".join(rng.choice(_SOUP_FRAGMENTS) for _ in range(rng.randrange(1, 25)))
+        base = rng.choice(bases)
+        assert extract_page(s, base) == _reference_page(s, base), repr(s)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="<>&;/=\"' \t\n\x00abpAP!?#.-x0", max_size=120))
+def test_fast_scan_hypothesis(s):
+    from engine.kernels import extract_page
+
+    assert extract_page(s, "http://h.example/a/b") == _reference_page(s, "http://h.example/a/b")
+
+
+_URLJOIN_ATOMS = [
+    "a", "b", "p", "..", ".", "", "x y", "%20", "p;q", "a=1", "#f", "#", "?", "?q=1", "?q",
+    ";p=2", "http://o.example", "https://o.example/z", "HTTP://o.example/z", "http:", "//o.example",
+    "//o.example/p", "//", "///x", ":", "a:b", "1:2", "mailto:x", "foo+bar:z", "\t", "\n", "\x00",
+    "[", "]", "http://[::2]/x", "?#", "#?", "&", "=", "~", "..//", "/./", "/../", "http://h;p/x",
+    "http://h/a;", "http://h/a;p", "x#", "x?", "x?#", "x?#f", "x#?q",
+]
+
+
+def test_fast_urljoin_differential():
+    import random
+    from urllib.parse import urljoin
+
+    from engine.kernels import _base_ctx, _fast_urljoin
+
+    bases = ["http://s.example/d/e/f", "https://s.example/d/", "http://s.example",
+             "http://u@h.example:8080/p?q=0", "https://h.example/a/b;p/c?x=1#frag",
+             "http://h.example/;p", "ftp://h.example/x", "relative/base", "",
+             "http://[::1]:8080/p", "http://h.example/a/./../b/"]
+    rng = random.Random(31337)
+    for _ in range(8000):
+        base = rng.choice(bases)
+        h = "".join(rng.choice(_URLJOIN_ATOMS) for _ in range(rng.randrange(1, 6)))
+        if rng.random() < 0.3:
+            h = rng.choice(["/", "./", "../", "//", ""]) + h
+        ctx = _base_ctx(base)
+        try:
+            want, werr = urljoin(base, h), False
+        except ValueError:
+            want, werr = None, True
+        try:
+            got, gerr = _fast_urljoin(ctx, base, h), False
+        except ValueError:
+            got, gerr = None, True
+        assert (want, werr) == (got, gerr), (base, h)
+
+
+def test_selfclosing_skip_tag_does_not_leak_skip():
+    """A self-closing skip tag (<script/>) has no body: text after it
+    must be kept, matching the separate extractors."""
+    from engine.kernels import extract_page
+
+    html = '<p>before</p><script/><p>after</p><template/><a href="/x">l</a>'
+    t, links = extract_page(html, "http://h.example/")
+    assert t == "before\nafter\nl"
+    assert t == extract_text(html)
+    assert [u for u, _, _ in links] == ["http://h.example/x"]
+    assert links == extract_links(html, "http://h.example/")
