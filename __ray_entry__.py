@@ -70,7 +70,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest": ops.asof_latest,
         "sessionize": ops.sessionize,
         "window_rank": ops.window_rank,
+        "window_lag": ops.window_lag,
+        "window_moving_avg": ops.window_moving_avg,
         "percentile_disc": ops.percentile_disc,
+        "pivot_events": ops.pivot_events,
+        "rollup_agg": ops.rollup_agg,
         "asof_join": ops.asof_join,
         "vector_topk": ops.vector_topk,
         # --- training-data pipeline ops (textops) ---
@@ -79,6 +83,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
         "doc_fingerprint": textops.doc_fingerprint,
+        "ngram_topk": textops.ngram_topk,
+        "repetition_filter": textops.repetition_filter,
+        "tfidf_topk": textops.tfidf_topk,
+        "pii_scrub": textops.pii_scrub,
         "dedup_minhash": textops.dedup_minhash,
         "dedup_simhash": textops.dedup_simhash,
         "dedup_ngram_jaccard": textops.dedup_ngram_jaccard,
@@ -115,7 +123,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered per table). Float
     aggregates use exact fixed-point (scale to int64 "cents", sum,
     divide last — see engine.ops._cents) mirrored in the SQL so both
-    sides produce bit-identical doubles. 30 of the 40 queries() entries
+    sides produce bit-identical doubles. 38 of the 48 queries() entries
     are oracle-checked; the 10 rows-only ops (the dedup-pair family,
     approximate ANN, kmeans, fingerprints, crawl_trace) are
     deliberately omitted — not SQL-expressible (LSH / iterative /
@@ -322,6 +330,83 @@ def oracle_sql() -> dict[str, str]:
             " SELECT user_id, session_id, COUNT(*) AS n_events,"
             " MIN(ts) AS session_start, MAX(ts) AS session_end"
             " FROM sess GROUP BY user_id, session_id"
+        ),
+        "window_lag": (
+            "WITH v AS (SELECT user_id, event_id, ts, "
+            "CAST(ROUND(value*1000000) AS BIGINT) AS vu FROM events) "
+            "SELECT user_id, event_id, ts, "
+            "CAST(vu - lag(vu) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS DOUBLE)/1000000.0 AS delta_value FROM v"
+        ),
+        # exact fixed-point window sum (int64) cast to double, then
+        # the SAME division sequence on both sides: (s/1e6)/n
+        "window_moving_avg": (
+            "WITH v AS (SELECT user_id, event_id, ts, "
+            "CAST(ROUND(value*1000000) AS BIGINT) AS vu FROM events), "
+            "l AS (SELECT user_id, event_id, ts, "
+            "SUM(vu) OVER w AS s, COUNT(*) OVER w AS n FROM v "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) "
+            "SELECT user_id, event_id, ts, "
+            "CAST(s AS DOUBLE)/1000000.0/n AS moving_avg FROM l"
+        ),
+        "pivot_events": (
+            "SELECT date_trunc('hour', ts) AS hour, "
+            + ", ".join(
+                f"CAST(SUM(CASE WHEN event_type='{ty}' THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS n_{ty}"
+                for ty in ("click", "view", "purchase", "signup", "error")
+            )
+            + " FROM events GROUP BY 1"
+        ),
+        "rollup_agg": (
+            "SELECT COALESCE(l_returnflag,'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus,'ALL') AS l_linestatus, "
+            "CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 "
+            "AS sum_qty, COUNT(*) AS n "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "ngram_topk": (
+            "WITH ws AS (SELECT string_split(text,' ') AS w FROM documents), "
+            "bg AS (SELECT w[i] || ' ' || w[i+1] AS ngram FROM ws, "
+            "UNNEST(generate_series(1, len(w)-1)) AS t(i)) "
+            "SELECT ngram, COUNT(*) AS n FROM bg GROUP BY 1 "
+            "ORDER BY n DESC, ngram LIMIT 20"
+        ),
+        "repetition_filter": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term "
+            "FROM documents), "
+            "cnt AS (SELECT doc_id, term, COUNT(*) AS n FROM w GROUP BY 1,2), "
+            "agg AS (SELECT doc_id, SUM(n) AS total, COUNT(*) AS nd, "
+            "MAX(n) AS mx FROM cnt GROUP BY 1) "
+            "SELECT doc_id, CAST(total AS BIGINT) AS n_words, "
+            "CAST(nd AS BIGINT) AS n_distinct, "
+            "CAST(((total-nd)*1000000)//total AS BIGINT) AS dup_ratio_fp, "
+            "CAST((mx*1000000)//total AS BIGINT) AS top_word_frac_fp, "
+            "((total-nd)*1000000)//total <= 700000 AS keep FROM agg"
+        ),
+        # integer-exact TF-IDF surrogate: tf * n_docs * 1e6 // (df * n_words)
+        "tfidf_topk": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tfc FROM w GROUP BY 1,2), "
+            "nw AS (SELECT doc_id, COUNT(*) AS n_words FROM w GROUP BY 1), "
+            "df AS (SELECT term, COUNT(DISTINCT doc_id) AS dfc FROM w GROUP BY 1), "
+            "nd AS (SELECT COUNT(*) AS n FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.term, "
+            "CAST((tfc * n * 1000000) // (dfc * n_words) AS BIGINT) AS score_fp "
+            "FROM tf JOIN nw USING(doc_id) JOIN df USING(term) CROSS JOIN nd) "
+            "SELECT doc_id, term, score_fp FROM (SELECT *, "
+            "row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score_fp DESC, term) AS rn FROM s) WHERE rn = 1"
+        ),
+        # golden construction (PII minted deterministically: even
+        # doc_ids get one email + one phone appended, odd none)
+        "pii_scrub": (
+            "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN "
+            "text || ' contact [EMAIL] or call [PHONE]' ELSE text END "
+            "AS clean_text, CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END "
+            "AS BIGINT) AS n_pii FROM documents"
         ),
         "token_count": (
             "SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 "

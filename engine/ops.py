@@ -595,6 +595,148 @@ def asof_join(sf_dir: str):
     )
 
 
+# ------------------------------------------- window lag / moving avg
+def _events_windowed(sf_dir: str, win: int):
+    """Shared machinery for the offset/frame window ops (window_lag,
+    window_moving_avg): events COARSE-bucketed on mix64(user_id)
+    (util.scaled_buckets — never one map_groups group per user; at
+    10^8 users per-group overhead dominates), each bucket sorted once
+    by (user_id, ts, event_id) and every window column computed
+    vectorized with pandas groupby shift/rolling. `value` is carried
+    as exact 1e-6 fixed-point int64 (_cents) so window sums are
+    order-independent and the DuckDB oracle matches bit-exactly;
+    divisions back to double are sequenced identically on both sides."""
+    from engine.joins import _mix64
+    from engine.util import scaled_buckets
+
+    nb = scaled_buckets(512)
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        x = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        b = _mix64(x.view(np.uint64)) % np.uint64(nb)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "vu": _cents(t["value"], 1000000.0),
+                "bucket": pa.array(b.astype(np.int32)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)["vu"]
+        lag = grp.shift(1)  # float64 with NaN at group starts; ints < 2^53 exact
+        delta = (g["vu"] - lag) / 1e6
+        roll = grp.rolling(win, min_periods=1)
+        mv_s = roll.sum().reset_index(level=0, drop=True).loc[g.index]
+        mv_n = roll.count().reset_index(level=0, drop=True).loc[g.index]
+        return g.assign(
+            delta_value=delta, moving_avg=(mv_s / 1e6) / mv_n
+        )[["user_id", "event_id", "ts", "delta_value", "moving_avg"]]
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def window_lag(sf_dir: str):
+    """LAG window: per user ordered by (ts, event_id), the change in
+    value vs the previous event (NULL on each user's first event)."""
+    return _events_windowed(sf_dir, win=3).select_columns(
+        ["user_id", "event_id", "ts", "delta_value"]
+    )
+
+
+def window_moving_avg(sf_dir: str, win: int = 3):
+    """Moving-average frame window: per user ordered by (ts, event_id),
+    mean of value over the current + `win`-1 preceding rows."""
+    return _events_windowed(sf_dir, win=win).select_columns(
+        ["user_id", "event_id", "ts", "moving_avg"]
+    )
+
+
+# ------------------------------------------------------------- pivot
+def pivot_events(sf_dir: str):
+    """Pivot: per hour, event counts spread into one int64 column per
+    event_type. Re-expressed Ray-Data-first as indicator columns built
+    vectorized in map_batches (pc.equal → int64) + ONE groupby over
+    the hour key with a Sum per pivoted column — the per-batch
+    indicators are the combiner, so the shuffle carries one row per
+    (hour, batch), never per event."""
+    types = ("click", "view", "purchase", "signup", "error")
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        cols = {"hour": pc.floor_temporal(t["ts"], unit="hour")}
+        for ty in types:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(t["event_type"], ty), pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(*[Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in types])
+        .sort("hour")
+    )
+
+
+# ------------------------------------------------------------ rollup
+def rollup_agg(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) — sum_qty + count at
+    three grouping levels. The data-sized work is ONE shuffle: the
+    detailed groupby over exact fixed-point partials; the coarser
+    levels are then derived from the detailed AGGREGATE, which is
+    group-key-cardinality sized (≤ flags×statuses rows), not
+    data-sized — the standard rollup plan at 100 TB. Rolled-up cells
+    use the 'ALL' sentinel on both sides (no NULL-vs-NaN hash
+    ambiguity in the driver compare)."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": _cents(t["l_quantity"], 100.0),
+            }
+        )
+
+    detailed = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty_c", alias_name="qty_c"), Count(alias_name="n"))
+        .to_pandas()  # bounded by group-key cardinality, not data size
+    )
+    lvl1 = (
+        detailed.groupby("l_returnflag", as_index=False)[["qty_c", "n"]]
+        .sum()
+        .assign(l_linestatus="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "qty_c": [detailed["qty_c"].sum()],
+            "n": [detailed["n"].sum()],
+        }
+    )
+    out = pd.concat([detailed, lvl1, total], ignore_index=True)
+    out = out.sort_values(["l_returnflag", "l_linestatus"], kind="mergesort")
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            "sum_qty": pa.array(out["qty_c"].astype(np.int64) / 100.0, pa.float64()),
+            "n": pa.array(out["n"].astype(np.int64), pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------- percentile_group
 def percentile_disc(sf_dir: str):
     """Exact discrete median per group (the rank-based percentile a

@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 from engine.util import cached_get, cluster_cpus, read_parquet_clean, scaled_buckets
 
@@ -209,6 +209,171 @@ def doc_fingerprint(sf_dir: str):
         fps = [_rolling_fingerprint(s) for s in t["text"].to_pylist()]
         return pa.table(
             {"doc_id": t["doc_id"], "fingerprint": pa.array(fps, pa.uint64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def ngram_topk(sf_dir: str, n: int = 2, k: int = 20):
+    """Top-k word n-grams across the corpus by count (vocabulary
+    mining for tokenizer/boilerplate analysis). Per-batch Counter
+    pre-aggregation is the combiner: the shuffle carries one row per
+    DISTINCT n-gram per batch — bounded by vocabulary², never by
+    corpus occurrences — then one small groupby-sum + top-k. The
+    per-string split loop is inherent to the kernel (same stance as
+    dedup_exact's md5)."""
+    from collections import Counter
+
+    def pre(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for s in t["text"].to_pylist():
+            w = s.split(" ")
+            for i in range(len(w) - n + 1):
+                cnt[" ".join(w[i : i + n])] += 1
+        items = sorted(cnt.items())
+        return pa.table(
+            {
+                "ngram": pa.array([g for g, _ in items], pa.string()),
+                "n": pa.array([c for _, c in items], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "ngram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def repetition_filter(sf_dir: str, max_dup_ratio_fp: int = 700000):
+    """Gopher-style repetition quality gate: per document, the
+    duplicate-word ratio and top-word fraction, plus the keep
+    decision. All ratios are exact integer fixed-point (x*1e6 // total)
+    so the DuckDB oracle matches bit-exactly. Stateless per-doc
+    map_batches — embarrassingly parallel, no shuffle."""
+    from collections import Counter
+
+    def f(t: pa.Table) -> pa.Table:
+        n_words, n_distinct, dup_fp, top_fp = [], [], [], []
+        for s in t["text"].to_pylist():
+            cnt = Counter(s.split(" "))
+            total = sum(cnt.values())
+            nd = len(cnt)
+            n_words.append(total)
+            n_distinct.append(nd)
+            dup_fp.append((total - nd) * 1000000 // total)
+            top_fp.append(max(cnt.values()) * 1000000 // total)
+        keep = [d <= max_dup_ratio_fp for d in dup_fp]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "dup_ratio_fp": pa.array(dup_fp, pa.int64()),
+                "top_word_frac_fp": pa.array(top_fp, pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def tfidf_topk(sf_dir: str):
+    """Highest-TF-IDF term per document, integer-exact:
+    score_fp = tf_count * n_docs * 1e6 // (df * n_words) — a rational
+    TF-IDF surrogate (idf as n_docs/df instead of its log) chosen so
+    both sides compute pure int64 arithmetic and match bit-exactly.
+    Two passes: (1) document frequency = per-batch DISTINCT (doc,term)
+    counts pre-aggregated, then groupby(term).sum — the result is
+    VOCABULARY-sized (bounded by language, ≪ corpus), broadcast once
+    via ray.put; (2) a stateless map_batches computes each doc's
+    argmax locally — a document's terms never leave its batch, so
+    there is no per-doc shuffle at all."""
+    import ray
+    from collections import Counter
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for s in t["text"].to_pylist():
+            cnt.update(set(s.split(" ")))
+        items = sorted(cnt.items())
+        return pa.table(
+            {
+                "term": pa.array([w for w, _ in items], pa.string()),
+                "df": pa.array([c for _, c in items], pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()  # vocabulary-sized
+    )
+    dfm_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype(int))))
+    n_docs = int(docs.count())
+
+    def best(t: pa.Table) -> pa.Table:
+        dfm = cached_get(dfm_ref)
+        ids, terms, scores = [], [], []
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = s.split(" ")
+            nw = len(ws)
+            top = None
+            for term, tfc in Counter(ws).items():
+                key = (-(tfc * n_docs * 1000000 // (dfm[term] * nw)), term)
+                if top is None or key < top:
+                    top = key
+            ids.append(i)
+            terms.append(top[1])
+            scores.append(-top[0])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "score_fp": pa.array(scores, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(best, batch_format="pyarrow")
+
+
+_PII_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_PII_PHONE_RE = re.compile(r"\b\d{3}-\d{4}\b")
+
+
+def pii_scrub(sf_dir: str):
+    """Regex PII redaction (emails, phone numbers) — the pre-training
+    scrub pass — as a stateless map_batches stage with MODULE-level
+    compiled patterns (once per process, never per batch). The driver
+    oracle is a golden construction: PII is minted deterministically
+    into the text (even doc_ids get an email + phone appended, odd
+    none), so the SQL constructs the expected redacted output exactly
+    and the whole mint→scrub→count pipeline is bit-checked; the
+    regexes themselves are additionally unit-tested on harder forms
+    (tests/test_joins_dedup.py)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out, n_pii = [], []
+        for i, s in zip(ids, t["text"].to_pylist()):
+            if i % 2 == 0:
+                s = f"{s} contact user{i}@example.com or call 555-{i % 10000:04d}"
+            s2, ne = _PII_EMAIL_RE.subn("[EMAIL]", s)
+            s3, np_ = _PII_PHONE_RE.subn("[PHONE]", s2)
+            out.append(s3)
+            n_pii.append(ne + np_)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "clean_text": pa.array(out, pa.string()),
+                "n_pii": pa.array(n_pii, pa.int64()),
+            }
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")

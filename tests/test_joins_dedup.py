@@ -224,3 +224,54 @@ def test_resume_config_mismatch_raises(ray_session, tmp_path):
     changed = CrawlConfig(seeds=(page_url(0, 0),), budget_per_host=9, max_rounds=3)
     with pytest.raises(ValueError, match="config mismatch"):
         run_crawl(pages, changed, out, resume=True)
+
+
+def test_pii_regexes_hard_cases():
+    """The pii_scrub oracle is a golden construction over minted PII;
+    the regexes themselves must also handle forms the mint never
+    produces (subdomains, plus-tags, multiple hits, phone-lookalikes)."""
+    from engine.textops import _PII_EMAIL_RE, _PII_PHONE_RE
+
+    def scrub(s):
+        return _PII_PHONE_RE.sub("[PHONE]", _PII_EMAIL_RE.sub("[EMAIL]", s))
+
+    assert scrub("mail a.b+tag@sub.domain.co.uk now") == "mail [EMAIL] now"
+    assert scrub("x 555-0199 y 555-1234 z") == "x [PHONE] y [PHONE] z"
+    assert scrub("two j@a.io k@b.org") == "two [EMAIL] [EMAIL]"
+    # not-PII lookalikes survive: missing TLD, digits run into words,
+    # wrong phone shape
+    assert scrub("a@b c1234-5678d 55-1234 5555-123") == "a@b c1234-5678d 55-1234 5555-123"
+
+
+def test_window_ops_vectorized_reference(ray_session):
+    """window_lag / window_moving_avg equal a per-user pure-pandas
+    reference on sf0.001 (independent of the bucketed machinery)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from engine.ops import window_lag, window_moving_avg
+
+    ev = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    ).to_pandas()
+    ev["vu"] = np.round(ev["value"] * 1e6).astype(np.int64)
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    grp = ev.groupby("user_id", sort=False)["vu"]
+    ev["delta_value"] = (ev["vu"] - grp.shift(1)) / 1e6
+    r = grp.rolling(3, min_periods=1)
+    s = r.sum().reset_index(level=0, drop=True).loc[ev.index]
+    n = r.count().reset_index(level=0, drop=True).loc[ev.index]
+    ev["moving_avg"] = (s / 1e6) / n
+
+    key = ["user_id", "event_id"]
+    got_lag = window_lag("/root/testdata/sf0.001").to_pandas().sort_values(key)
+    got_avg = window_moving_avg("/root/testdata/sf0.001").to_pandas().sort_values(key)
+    want = ev.sort_values(key)
+    np.testing.assert_array_equal(
+        got_lag["delta_value"].to_numpy(), want["delta_value"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        got_avg["moving_avg"].to_numpy(), want["moving_avg"].to_numpy()
+    )
