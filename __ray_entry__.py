@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_agg": ops.rollup_agg,
         "asof_join": ops.asof_join,
         "vector_topk": ops.vector_topk,
+        # --- link-graph analytics (engine/graph.py) ---
+        "pagerank_hosts": ops.pagerank_hosts,
+        "graph_degree": ops.graph_degree,
         # --- training-data pipeline ops (textops) ---
         "token_count": textops.token_count,
         "bpe_token_count": textops.bpe_token_count,
@@ -117,6 +120,44 @@ def _crawl_trace(sf_dir: str):
     out = tempfile.mkdtemp(prefix="crawl_q_")
     res = run_crawl(build_pages_table(cfg), crawl, out)
     return pa.Table.from_pylist(res.trace())
+
+
+_EDGES_CTE = (
+    "e AS (SELECT CAST(doc_id % 7 AS BIGINT) AS src, "
+    "CAST((doc_id*3+1) % 7 AS BIGINT) AS dst FROM documents)"
+)
+_VERTS_CTE = (
+    "v AS (SELECT DISTINCT node FROM "
+    "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))"
+)
+
+
+def _pagerank_sql(n_iter: int) -> str:
+    """Unrolled integer fixed-point PageRank iterations (mirrors
+    engine.graph.pagerank exactly: r0 = 1e9 // n; per iteration
+    r'(v) = (150*(1e9//n))//1000 + Σ (r(u)*850)//(1000*deg(u)))."""
+    parts = [
+        "WITH " + _EDGES_CTE,
+        "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1)",
+        _VERTS_CTE,
+        "n AS (SELECT COUNT(*) AS c FROM v)",
+        "i0 AS (SELECT node, 1000000000 // c AS r FROM v CROSS JOIN n)",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"i{k} AS (SELECT v.node, "
+            "(150 * (1000000000 // n.c)) // 1000 + COALESCE(s.t, 0) AS r "
+            "FROM v CROSS JOIN n LEFT JOIN ("
+            "SELECT e.dst AS node, "
+            f"CAST(SUM((i{k-1}.r * 850) // (1000 * deg.d)) AS BIGINT) AS t "
+            f"FROM e JOIN i{k-1} ON e.src = i{k-1}.node "
+            "JOIN deg ON e.src = deg.src GROUP BY 1) s "
+            "ON v.node = s.node)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT node, CAST(r AS BIGINT) AS rank_fp FROM i{n_iter}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -330,6 +371,19 @@ def oracle_sql() -> dict[str, str]:
             " SELECT user_id, session_id, COUNT(*) AS n_events,"
             " MIN(ts) AS session_start, MAX(ts) AS session_end"
             " FROM sess GROUP BY user_id, session_id"
+        ),
+        # iterative integer fixed-point PageRank: the SQL unrolls the
+        # SAME iterations engine.graph.pagerank runs as distributed
+        # joins (floor division at 1e9 scale on both sides)
+        "pagerank_hosts": _pagerank_sql(3),
+        "graph_degree": (
+            f"WITH {_EDGES_CTE}, {_VERTS_CTE}, "
+            "o AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1), "
+            "i AS (SELECT dst, COUNT(*) AS idg FROM e GROUP BY 1) "
+            "SELECT v.node, CAST(COALESCE(o.od, 0) AS BIGINT) AS out_deg, "
+            "CAST(COALESCE(i.idg, 0) AS BIGINT) AS in_deg "
+            "FROM v LEFT JOIN o ON v.node = o.src "
+            "LEFT JOIN i ON v.node = i.dst"
         ),
         "window_lag": (
             "WITH v AS (SELECT user_id, event_id, ts, "

@@ -28,6 +28,15 @@ import tempfile
 import time
 
 
+BENCH_QUERIES = (
+    "filter_project", "agg_global", "groupby_agg", "join_hash",
+    "topk", "sort", "dedup_exact", "json_extract", "date_math",
+    "token_count", "quality_score", "lang_id", "dedup_minhash",
+    "vector_topk", "window_lag", "pivot_events", "ngram_topk",
+    "tfidf_topk", "repetition_filter", "pii_scrub",
+)
+
+
 def _bench_once(num_cpus: int, sf_dir: str, crawl_only: bool,
                 skip_crawl: bool = False) -> dict:
     import ray
@@ -59,12 +68,7 @@ def _bench_once(num_cpus: int, sf_dir: str, crawl_only: bool,
         # worker-pool spin-up (~2s) that would otherwise be billed to
         # whichever query happens to run first
         qs["agg_global"](sf_dir).to_pandas()
-        for name in (
-            "filter_project", "agg_global", "groupby_agg", "join_hash",
-            "topk", "sort", "dedup_exact", "json_extract", "date_math",
-            "token_count", "quality_score", "lang_id", "dedup_minhash",
-            "vector_topk",
-        ):
+        for name in BENCH_QUERIES:
             t0 = time.monotonic()
             r = qs[name](sf_dir)
             if hasattr(r, "to_pandas"):
@@ -129,12 +133,7 @@ def _bench_once(num_cpus: int, sf_dir: str, crawl_only: bool,
         import __ray_entry__ as em
 
         qs = em.queries()
-        for name in (
-            "filter_project", "agg_global", "groupby_agg", "join_hash",
-            "topk", "sort", "dedup_exact", "json_extract", "date_math",
-            "token_count", "quality_score", "lang_id", "dedup_minhash",
-            "vector_topk",
-        ):
+        for name in BENCH_QUERIES:
             t0 = time.monotonic()
             r = qs[name](sf_dir)
             if hasattr(r, "to_pandas"):

@@ -1,0 +1,139 @@
+"""Link-graph analytics over edge Datasets — the webtext companion to
+the crawl (rank what the crawler discovered).
+
+`pagerank` is a fixed-point integer power iteration expressed purely
+as Ray Data groupbys + ONE co-partitioned bucketed join per iteration:
+edges⋈ranks on src (engine.joins.equi_join_bucketed — Ray's native
+Dataset.join loses block schemas on empty partitions when keys are
+sparse, and the bucketed form also reuses our skew-safe routing), a
+vectorized per-edge contribution, groupby(dst) sum, then the teleport
+fold as a UNION with zero rows per vertex + groupby — no left-outer
+join at all. All arithmetic is non-negative int64 floor-division at a
+1e9 fixed-point scale, so results are bit-reproducible at any
+parallelism AND SQL-mirrorable (the `pagerank_hosts` oracle in
+__ray_entry__ unrolls the identical iterations as DuckDB CTEs).
+
+Scale notes (10^10 edges / 10^9 vertices): ranks, degrees and the
+vertex set are vertex-sized DATASETS — never driver-materialized,
+never broadcast; the only driver scalar is the vertex count (one
+aggregate). Each iteration is two all-to-alls (bucketed join on src,
+groupby dst) + one vertex-sized groupby — the canonical BSP PageRank
+schedule; bucket fan-out scales with cluster CPUs
+(util.scaled_buckets). Dangling-node mass is dropped (the oracle
+mirrors this).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Sum
+
+SCALE = 1_000_000_000
+
+
+def _nodes(edges, col: str):
+    return edges.select_columns([col]).map_batches(
+        lambda t, c=col: pa.table({"node": t[c]}), batch_format="pyarrow"
+    )
+
+
+def vertex_set(edges):
+    """Distinct vertex Dataset (column `node`) from an edge Dataset
+    (columns src, dst) — groupby-based distinct, stays distributed."""
+    return (
+        _nodes(edges, "src")
+        .union(_nodes(edges, "dst"))
+        .groupby("node")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["node"])
+    )
+
+
+def pagerank(edges, n_iter: int = 3, damping_permille: int = 850):
+    """Integer fixed-point PageRank over an edge Dataset (src, dst).
+
+    Returns a Dataset (node, rank_fp) with rank_fp at SCALE=1e9
+    fixed-point. r0 = SCALE // n for every vertex; each iteration:
+    r'(v) = teleport + Σ_{(u,v)∈E} (r(u) * d) // (1000 * out_deg(u)),
+    teleport = ((1000-d) * (SCALE // n)) // 1000. Every division is a
+    non-negative int64 floor division (Arrow's truncating integer
+    divide == floor for non-negatives), so any execution order gives
+    identical bits.
+    """
+    from engine.joins import equi_join_bucketed
+
+    deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+    edges_deg = equi_join_bucketed(edges, deg, on="src")
+    verts = vertex_set(edges)
+    n = verts.count()
+    r0 = SCALE // n
+    teleport = (1000 - damping_permille) * r0 // 1000
+
+    def zero_c(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t["node"], "c": pa.array([0] * len(t), pa.int64())}
+        )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        c = pc.divide(
+            pc.multiply(t["rank_fp"], pa.scalar(damping_permille, pa.int64())),
+            pc.multiply(pa.scalar(1000, pa.int64()), pc.cast(t["deg"], pa.int64())),
+        )
+        return pa.table({"node": t["dst"], "c": c})
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "rank_fp": pc.add(
+                    pa.scalar(teleport, pa.int64()), pc.cast(t["c"], pa.int64())
+                ),
+            }
+        )
+
+    zeros = verts.map_batches(zero_c, batch_format="pyarrow")
+    ranks = verts.map_batches(
+        lambda t: t.append_column("rank_fp", pa.array([r0] * len(t), pa.int64())),
+        batch_format="pyarrow",
+    )
+    for _ in range(n_iter):
+        sums = equi_join_bucketed(
+            edges_deg, ranks, on="src", right_on="node"
+        ).map_batches(contrib, batch_format="pyarrow")
+        # teleport fold: union vertex-zero rows so no-in-edge vertices
+        # survive, ONE groupby — no left-outer join
+        ranks = (
+            sums.union(zeros)
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="c"))
+            .map_batches(fold, batch_format="pyarrow")
+        )
+    return ranks
+
+
+def degree_stats(edges):
+    """Per-node out/in degree in ONE groupby, no joins: each edge
+    contributes an (src, 1, 0) and a (dst, 0, 1) indicator row, summed
+    per node — dst-only nodes get out_deg 0 and vice versa."""
+
+    def indicators(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        one = pa.array([1] * n, pa.int64())
+        zero = pa.array([0] * n, pa.int64())
+        out_rows = pa.table({"node": t["src"], "o": one, "i": zero})
+        in_rows = pa.table({"node": t["dst"], "o": zero, "i": one})
+        return pa.concat_tables([out_rows, in_rows])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t["node"], "out_deg": t["o"], "in_deg": t["i"]}
+        )
+
+    return (
+        edges.map_batches(indicators, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("o", alias_name="o"), Sum("i", alias_name="i"))
+        .map_batches(rename, batch_format="pyarrow")
+    )

@@ -65,6 +65,26 @@ def _bucket_of(col: pa.ChunkedArray, num_buckets: int) -> pa.Array:
     return pa.array(dbucket[idx])
 
 
+def _arrow_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset whether its blocks are Arrow or pandas
+    (a pandas-origin dataset — e.g. the output of a map_groups — reports
+    a PandasBlockSchema whose types are numpy dtypes)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for n, t in zip(s.names, s.types):
+        if isinstance(t, pa.DataType):
+            fields.append((n, t))
+        else:
+            try:
+                fields.append((n, pa.from_numpy_dtype(t)))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append((n, pa.string()))
+    return pa.schema(fields)
+
+
 def semi_anti_bucketed(left_ds, right_ds, on: str, right_on: str | None = None,
                        keep_present: bool = True, num_buckets: int | None = None):
     """left semi (keep_present=True) / anti (False) join: keep left rows
@@ -196,6 +216,78 @@ def asof_join_bucketed(left_ds, right_ds, on_left: str, on_right: str,
             if pa.types.is_integer(rtypes[rn_]):
                 m[rn_] = m[rn_].astype("int64")
         return m
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return (
+        tagged.groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(lnames + out_rnames)
+    )
+
+
+def equi_join_bucketed(left_ds, right_ds, on: str, right_on: str | None = None,
+                       num_buckets: int | None = None):
+    """Distributed INNER equi-join via the same co-partitioned shape as
+    asof_join_bucketed: both sides tagged with bucket = mix64(key) %
+    num_buckets, null-padded to the combined schema, unioned, then ONE
+    groupby co-locates each bucket where a vectorized pandas merge does
+    the per-bucket hash join. Exists for joins whose sides can be
+    sparse relative to the partition count — Ray's native Dataset.join
+    builds per-partition Acero tables that lose their schema when a
+    partition receives zero left rows (7 distinct keys into 32
+    partitions → empty-block ArrowInvalid), while an empty groupby
+    bucket here simply never materializes. Column names must be
+    disjoint except the keys; right key is dropped from the output."""
+    import pandas as pd
+
+    if num_buckets is None:
+        num_buckets = scaled_buckets(64)
+    right_on = right_on or on
+    lschema = _arrow_schema(left_ds)
+    rschema = _arrow_schema(right_ds)
+    lnames = list(lschema.names)
+    ltypes = {n: lschema.field(n).type for n in lschema.names}
+    rtypes = {n: rschema.field(n).type for n in rschema.names}
+    out_rnames = [n for n in rschema.names if n != right_on]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {ln_: t[ln_].combine_chunks() for ln_ in lnames}
+        for rn_ in out_rnames:
+            cols[rn_] = pa.nulls(n, rtypes[rn_])
+        out = pa.table(cols)
+        out = out.append_column("__bucket", _bucket_of(t[on], num_buckets))
+        return out.append_column("__side", pa.array(np.zeros(n, np.int8)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for ln_ in lnames:
+            if ln_ == on:
+                cols[ln_] = t[right_on].combine_chunks().cast(ltypes[on])
+            else:
+                cols[ln_] = pa.nulls(n, ltypes[ln_])
+        for rn_ in out_rnames:
+            cols[rn_] = t[rn_].combine_chunks()
+        out = pa.table(cols)
+        out = out.append_column("__bucket", _bucket_of(t[right_on], num_buckets))
+        return out.append_column("__side", pa.array(np.ones(n, np.int8)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == 0, lnames]
+        r = g.loc[g["__side"] == 1, [on] + out_rnames]
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(columns=lnames + out_rnames)
+        m = l.merge(r, on=on, how="inner")
+        # null padding makes int columns float64 in the pandas group;
+        # restore declared int types (no nulls remain after inner)
+        for name in lnames + out_rnames:
+            ty = ltypes.get(name, rtypes.get(name))
+            if pa.types.is_integer(ty):
+                m[name] = m[name].astype("int64")
+        return m[lnames + out_rnames]
 
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")

@@ -763,3 +763,40 @@ def percentile_disc(sf_dir: str):
         .map_groups(med, batch_format="pandas")
         .select_columns(["c_mktsegment", "median_acctbal", "n_customers"])
     )
+
+
+# ---------------------------------------------------------- pagerank
+def _minted_edges(sf_dir: str):
+    """Deterministic host-graph edge list minted from documents (the
+    golden-construction pattern: known inputs → SQL-reconstructable
+    edges): one edge (doc_id % 7) → ((doc_id*3+1) % 7) per document."""
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def mint(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.int64())
+        seven = pa.scalar(7, pa.int64())
+        src = pc.subtract(d, pc.multiply(pc.divide(d, seven), seven))
+        d3 = pc.add(pc.multiply(d, pa.scalar(3, pa.int64())), pa.scalar(1, pa.int64()))
+        dst = pc.subtract(d3, pc.multiply(pc.divide(d3, seven), seven))
+        return pa.table({"src": src, "dst": dst})
+
+    return ds.map_batches(mint, batch_format="pyarrow")
+
+
+def pagerank_hosts(sf_dir: str, n_iter: int = 3):
+    """Integer fixed-point PageRank (engine.graph.pagerank — iterative
+    distributed joins + groupbys) over the minted host graph; the
+    DuckDB oracle unrolls the identical iterations as CTEs, so an
+    ITERATIVE graph algorithm is oracle-checked bit-exactly."""
+    from engine.graph import pagerank
+
+    return pagerank(_minted_edges(sf_dir), n_iter=n_iter).sort("node")
+
+
+def graph_degree(sf_dir: str):
+    """Per-node out/in degree of the minted host graph
+    (engine.graph.degree_stats: two groupbys + vertex-set left-outer
+    joins, all distributed)."""
+    from engine.graph import degree_stats
+
+    return degree_stats(_minted_edges(sf_dir)).sort("node")

@@ -275,3 +275,66 @@ def test_window_ops_vectorized_reference(ray_session):
     np.testing.assert_array_equal(
         got_avg["moving_avg"].to_numpy(), want["moving_avg"].to_numpy()
     )
+
+
+def test_equi_join_bucketed_matches_pandas_merge(ray_session):
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.joins import equi_join_bucketed
+
+    rng = random.Random(7)
+    left = pd.DataFrame(
+        {"k": [rng.randrange(20) for _ in range(300)],
+         "a": list(range(300))}
+    )
+    right = pd.DataFrame(
+        {"kk": [rng.randrange(25) for _ in range(60)],
+         "b": [i * 10 for i in range(60)]}
+    )
+    got = (
+        equi_join_bucketed(rd.from_pandas(left), rd.from_pandas(right),
+                           on="k", right_on="kk", num_buckets=16)
+        .to_pandas().sort_values(["k", "a", "b"]).reset_index(drop=True)
+    )
+    want = (
+        left.merge(right.rename(columns={"kk": "k"}), on="k", how="inner")
+        .sort_values(["k", "a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "a", "b"]], want[["k", "a", "b"]])
+
+
+def test_pagerank_matches_integer_reference(ray_session):
+    """engine.graph.pagerank == a pure-python integer power iteration
+    on a seeded random graph (beyond the 7-node oracle demo graph)."""
+    import random
+    from collections import Counter, defaultdict
+
+    import ray.data as rd
+
+    from engine.graph import SCALE, pagerank
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(300)]
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    deg = Counter(u for u, _ in edges)
+    n = len(nodes)
+    r = {v: SCALE // n for v in nodes}
+    teleport = 150 * (SCALE // n) // 1000
+    for _ in range(3):
+        s: dict = defaultdict(int)
+        for u, v in edges:
+            s[v] += r[u] * 850 // (1000 * deg[u])
+        r = {v: teleport + s.get(v, 0) for v in nodes}
+
+    import pandas as pd
+
+    # single-block source: from_items would mint hundreds of tiny
+    # blocks that fan through ~10 chained shuffle stages
+    ds = rd.from_pandas(
+        pd.DataFrame({"src": [u for u, _ in edges], "dst": [v for _, v in edges]})
+    )
+    got = {row["node"]: row["rank_fp"] for row in pagerank(ds, n_iter=3).take_all()}
+    assert got == r
