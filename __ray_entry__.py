@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- link-graph analytics (engine/graph.py) ---
         "pagerank_hosts": ops.pagerank_hosts,
         "graph_degree": ops.graph_degree,
+        "graph_components": ops.graph_components,
         # --- training-data pipeline ops (textops) ---
         "token_count": textops.token_count,
         "bpe_token_count": textops.bpe_token_count,
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textops.lang_id,
         "doc_fingerprint": textops.doc_fingerprint,
         "ngram_topk": textops.ngram_topk,
+        "decontaminate": textops.decontaminate,
         "repetition_filter": textops.repetition_filter,
         "tfidf_topk": textops.tfidf_topk,
         "pii_scrub": textops.pii_scrub,
@@ -157,6 +159,37 @@ def _pagerank_sql(n_iter: int) -> str:
     return (
         ", ".join(parts)
         + f" SELECT node, CAST(r AS BIGINT) AS rank_fp FROM i{n_iter}"
+    )
+
+
+_BLK_EDGES_CTE = (
+    "e AS (SELECT CAST((doc_id % 5)*10 + ((doc_id // 5) % 10) AS BIGINT) AS src, "
+    "CAST((doc_id % 5)*10 + ((((doc_id // 5) % 10)*7 + 3) % 10) AS BIGINT) AS dst "
+    "FROM documents)"
+)
+
+
+def _components_sql(n_iter: int) -> str:
+    """Unrolled min-label propagation rounds (mirrors
+    engine.graph.connected_components exactly: l0(v) = v; per round
+    l'(v) = MIN(l(v), MIN over undirected neighbors u of l(u)))."""
+    parts = [
+        "WITH " + _BLK_EDGES_CTE,
+        "u AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)",
+        "v AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "l0 AS (SELECT node, node AS l FROM v)",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"l{k} AS (SELECT node, MIN(l) AS l FROM ("
+            f"SELECT node, l FROM l{k-1} UNION ALL "
+            f"SELECT u.dst AS node, l{k-1}.l FROM u "
+            f"JOIN l{k-1} ON u.src = l{k-1}.node) GROUP BY 1)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT node, CAST(l AS BIGINT) AS component FROM l{n_iter}"
     )
 
 
@@ -376,6 +409,7 @@ def oracle_sql() -> dict[str, str]:
         # SAME iterations engine.graph.pagerank runs as distributed
         # joins (floor division at 1e9 scale on both sides)
         "pagerank_hosts": _pagerank_sql(3),
+        "graph_components": _components_sql(4),
         "graph_degree": (
             f"WITH {_EDGES_CTE}, {_VERTS_CTE}, "
             "o AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1), "
@@ -426,6 +460,23 @@ def oracle_sql() -> dict[str, str]:
             "UNNEST(generate_series(1, len(w)-1)) AS t(i)) "
             "SELECT ngram, COUNT(*) AS n FROM bg GROUP BY 1 "
             "ORDER BY n DESC, ngram LIMIT 20"
+        ),
+        # benchmark = 3-grams of docs with doc_id % 97 == 0 (the same
+        # golden construction the Ray op mints); overlap counts are
+        # DISTINCT shared 3-grams per document
+        "decontaminate": (
+            "WITH bw AS (SELECT string_split(text,' ') AS w FROM documents "
+            "WHERE doc_id % 97 = 0), "
+            "bench AS (SELECT DISTINCT w[i]||' '||w[i+1]||' '||w[i+2] AS g "
+            "FROM bw, UNNEST(generate_series(1, len(w)-2)) AS t(i)), "
+            "tw AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
+            "tg AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS g "
+            "FROM tw, UNNEST(generate_series(1, len(w)-2)) AS t(i)), "
+            "ov AS (SELECT doc_id, COUNT(*) AS c FROM tg JOIN bench USING (g) "
+            "GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(ov.c, 0) AS BIGINT) AS n_overlap, "
+            "COALESCE(ov.c, 0) > 0 AS contaminated FROM documents d "
+            "LEFT JOIN ov ON d.doc_id = ov.doc_id"
         ),
         "repetition_filter": (
             "WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term "

@@ -28,7 +28,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 SCALE = 1_000_000_000
 
@@ -111,6 +111,61 @@ def pagerank(edges, n_iter: int = 3, damping_permille: int = 850):
             .map_batches(fold, batch_format="pyarrow")
         )
     return ranks
+
+
+def connected_components(edges, n_iter: int = 4):
+    """Min-label propagation over the undirected closure of an edge
+    Dataset (src, dst): every vertex starts labeled with its own id;
+    each round every vertex takes the min of its own label and its
+    neighbors' labels (one bucketed join src→label + one groupby-min
+    over own∪received rows). A FIXED number of rounds keeps the result
+    deterministic and SQL-unrollable (the `graph_components` oracle
+    mirrors each round as a CTE); iterated to the graph diameter the
+    labels are exactly the connected components (test-proven vs
+    union-find). Returns (node, component).
+
+    Scale: per round, one edge-sized all-to-all (the bucketed join)
+    and one (V+E)-sized groupby — the BSP label-propagation schedule;
+    labels never leave the cluster. The undirected closure is part of
+    the lazy lineage, so each round re-derives it from the edge
+    source rather than pinning a 2|E| copy in the object store.
+    CRITICAL lineage shape: the round-k labels Dataset is consumed
+    exactly ONCE (as the join's right side) — the single join pass
+    emits BOTH the neighbor message (dst, l) and the self row (src,
+    l), which is sufficient because every vertex of an edge-derived
+    graph appears as src in the undirected closure. Consuming labels
+    twice (join + a labels∪msgs union) would DOUBLE the lazy lineage
+    every round — 2^n_iter re-execution."""
+    from engine.joins import equi_join_bucketed
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"]})
+
+    und = edges.union(edges.map_batches(rev, batch_format="pyarrow"))
+
+    def self_label(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "l": t["node"]})
+
+    def msgs_and_self(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                pa.table({"node": t["dst"], "l": t["l"]}),
+                pa.table({"node": t["src"], "l": t["l"]}),
+            ]
+        )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "component": t["l"]})
+
+    labels = vertex_set(edges).map_batches(self_label, batch_format="pyarrow")
+    for _ in range(n_iter):
+        labels = (
+            equi_join_bucketed(und, labels, on="src", right_on="node")
+            .map_batches(msgs_and_self, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("l", alias_name="l"))
+        )
+    return labels.map_batches(rename, batch_format="pyarrow")
 
 
 def degree_stats(edges):

@@ -793,6 +793,44 @@ def pagerank_hosts(sf_dir: str, n_iter: int = 3):
     return pagerank(_minted_edges(sf_dir), n_iter=n_iter).sort("node")
 
 
+def _minted_blocked_edges(sf_dir: str):
+    """Edge list minted from documents whose components are KNOWN by
+    construction: node ids live in 5 disjoint blocks of 10 (block =
+    doc_id % 5) and every edge stays inside its block — u = (doc_id//5)
+    % 10, src = block*10+u, dst = block*10+((u*7+3) % 10). The x→7x+3
+    permutation of Z10 splits each block into 3 cycles, so the graph
+    has 15 true components."""
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def _mod(a, m):
+        mm = pa.scalar(m, pa.int64())
+        return pc.subtract(a, pc.multiply(pc.divide(a, mm), mm))
+
+    def mint(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.int64())
+        blk = pc.multiply(_mod(d, 5), pa.scalar(10, pa.int64()))
+        u = _mod(pc.divide(d, pa.scalar(5, pa.int64())), 10)
+        u2 = _mod(
+            pc.add(pc.multiply(u, pa.scalar(7, pa.int64())), pa.scalar(3, pa.int64())),
+            10,
+        )
+        return pa.table({"src": pc.add(blk, u), "dst": pc.add(blk, u2)})
+
+    return ds.map_batches(mint, batch_format="pyarrow")
+
+
+def graph_components(sf_dir: str, n_iter: int = 4):
+    """Connected components by fixed-round min-label propagation
+    (engine.graph.connected_components — iterative bucketed joins +
+    groupby-min); the DuckDB oracle unrolls the identical rounds, and
+    4 rounds fully converge on the minted 15-component graph."""
+    from engine.graph import connected_components
+
+    return connected_components(_minted_blocked_edges(sf_dir), n_iter=n_iter).sort(
+        "node"
+    )
+
+
 def graph_degree(sf_dir: str):
     """Per-node out/in degree of the minted host graph
     (engine.graph.degree_stats: two groupbys + vertex-set left-outer

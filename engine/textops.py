@@ -1367,3 +1367,70 @@ def clean_corpus(sf_dir: str, jaccard_threshold: float = 0.7):
         )
 
     return kept.map_batches(feature, batch_format="pyarrow")
+
+
+def decontaminate(sf_dir: str, n: int = 3, bench_mod: int = 97):
+    """Benchmark decontamination (the GPT-3/Pile recipe): flag every
+    corpus document that shares at least one word n-gram with a
+    benchmark/eval set, reporting the distinct-overlap count. The
+    benchmark here is golden-constructed (docs with doc_id % bench_mod
+    == 0) so the DuckDB oracle can rebuild the identical set; in
+    production it is any small eval corpus.
+
+    Scale shape: the benchmark n-gram set is built DISTRIBUTED
+    (per-batch distinct shingles as the combiner, then one
+    vocabulary-bounded groupby), collected once — benchmark sets are
+    small by definition (10^2..10^5 eval docs), never the corpus —
+    and broadcast via ray.put; the corpus pass is then a stateless
+    embarrassingly-parallel map_batches membership count with no
+    shuffle at all (the alternative, corpus-ngrams ⋈ bench-ngrams,
+    would shuffle an E(corpus n-grams)-sized exchange). Per-string
+    split loop is inherent to the kernel (ngram_topk stance)."""
+    import ray
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def is_bench(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.int64())
+        m = pa.scalar(bench_mod, pa.int64())
+        r = pc.subtract(d, pc.multiply(pc.divide(d, m), m))
+        return t.filter(pc.equal(r, pa.scalar(0, pa.int64())))
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        grams: set = set()
+        for s in t["text"].to_pylist():
+            w = s.split(" ")
+            for i in range(len(w) - n + 1):
+                grams.add(" ".join(w[i : i + n]))
+        return pa.table({"g": pa.array(sorted(grams), pa.string())})
+
+    bench_set = frozenset(
+        docs.map_batches(is_bench, batch_format="pyarrow")
+        .map_batches(bench_grams, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["g"])
+        .to_pandas()["g"]  # benchmark-sized, small by definition
+    )
+    bref = ray.put(bench_set)
+
+    def overlap(t: pa.Table) -> pa.Table:
+        bset = cached_get(bref)
+        ids, counts = [], []
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            w = s.split(" ")
+            seen = {
+                " ".join(w[j : j + n]) for j in range(len(w) - n + 1)
+            }
+            ids.append(i)
+            counts.append(len(seen & bset))
+        cnt = pa.array(counts, pa.int64())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_overlap": cnt,
+                "contaminated": pc.greater(cnt, pa.scalar(0, pa.int64())),
+            }
+        )
+
+    return docs.map_batches(overlap, batch_format="pyarrow")

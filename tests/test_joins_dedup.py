@@ -338,3 +338,54 @@ def test_pagerank_matches_integer_reference(ray_session):
     )
     got = {row["node"]: row["rank_fp"] for row in pagerank(ds, n_iter=3).take_all()}
     assert got == r
+
+
+def test_connected_components_match_union_find(ray_session):
+    """Fixed-round min-label propagation, iterated to the round count
+    where the pure-python reference reaches fixpoint, equals true
+    union-find components."""
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.graph import connected_components
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randrange(30), rng.randrange(30)) for _ in range(25)})
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    want = {v: min(w for w in nodes if find(w) == find(v)) for v in nodes}
+
+    # python reference of the SAME fixed-round propagation, run to fixpoint
+    lab = {v: v for v in nodes}
+    rounds = 0
+    while True:
+        nxt = dict(lab)
+        for u, v in edges:
+            nxt[v] = min(nxt[v], lab[u])
+            nxt[u] = min(nxt[u], lab[v])
+        rounds += 1
+        if nxt == lab or rounds > 30:
+            break
+        lab = nxt
+    assert lab == want  # propagation converged to the true components
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"src": [u for u, _ in edges], "dst": [v for _, v in edges]})
+    )
+    got = {
+        row["node"]: row["component"]
+        for row in connected_components(ds, n_iter=rounds).take_all()
+    }
+    assert got == want
