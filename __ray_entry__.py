@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": ops.dedup_exact,
         "union_all": ops.union_all,
         "sample": ops.sample,
+        "stratified_sample": ops.stratified_sample,
         "json_extract": ops.json_extract,
         "date_math": ops.date_math,
         "string_fns": ops.string_fns,
@@ -89,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textops.doc_fingerprint,
         "ngram_topk": textops.ngram_topk,
         "decontaminate": textops.decontaminate,
+        "remove_boilerplate": textops.remove_boilerplate,
         "repetition_filter": textops.repetition_filter,
         "tfidf_topk": textops.tfidf_topk,
         "pii_scrub": textops.pii_scrub,
@@ -230,6 +232,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber FROM lineitem "
             "WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || "
             "CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0','1','2','3')"
+        ),
+        # per-lang keep threshold = cap*2^32//count rendered as an
+        # 8-hex-digit string (monotonic with the integer value);
+        # strata at/below the mean size keep everything
+        "stratified_sample": (
+            "WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents "
+            "GROUP BY 1), "
+            "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS ns "
+            "FROM cnt), "
+            "thr AS (SELECT lang, c, CASE WHEN c <= (SELECT t // ns FROM tot) "
+            "THEN NULL ELSE lower(lpad(to_hex((SELECT t // ns FROM tot) "
+            "* 4294967296 // c), 8, '0')) END AS h FROM cnt) "
+            "SELECT d.doc_id, d.lang FROM documents d "
+            "JOIN thr ON d.lang = thr.lang "
+            "WHERE thr.h IS NULL OR "
+            "substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.h"
         ),
         # probe = unnormalized arange(64): cosine is normalization-
         # invariant, and integer-valued double literals are exact, so
@@ -477,6 +495,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CAST(COALESCE(ov.c, 0) AS BIGINT) AS n_overlap, "
             "COALESCE(ov.c, 0) > 0 AS contaminated FROM documents d "
             "LEFT JOIN ov ON d.doc_id = ov.doc_id"
+        ),
+        # non-overlapping 3-word segments; boilerplate = segment in
+        # >= 3 distinct docs; docs reassembled in original order
+        "remove_boilerplate": (
+            "WITH tw AS (SELECT doc_id, string_split(text,' ') AS w "
+            "FROM documents), "
+            "seg AS (SELECT doc_id, i AS si, "
+            "array_to_string(w[(i-1)*3+1:(i-1)*3+3], ' ') AS s "
+            "FROM tw, UNNEST(generate_series(1, "
+            "CAST(CEIL(len(w)/3.0) AS BIGINT))) AS t(i)), "
+            "freq AS (SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS d "
+            "FROM seg GROUP BY 1) WHERE d >= 3), "
+            "j AS (SELECT seg.doc_id, seg.si, seg.s, "
+            "(freq.s IS NOT NULL) AS dropped FROM seg "
+            "LEFT JOIN freq ON seg.s = freq.s) "
+            "SELECT doc_id, COALESCE(string_agg(CASE WHEN NOT dropped "
+            "THEN s END, ' ' ORDER BY si), '') AS clean_text, "
+            "CAST(COUNT(*) AS BIGINT) AS n_segs, "
+            "CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_dropped FROM j GROUP BY 1"
         ),
         "repetition_filter": (
             "WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term "

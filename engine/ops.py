@@ -838,3 +838,41 @@ def graph_degree(sf_dir: str):
     from engine.graph import degree_stats
 
     return degree_stats(_minted_edges(sf_dir)).sort("node")
+
+
+# ------------------------------------------------- stratified sample
+def stratified_sample(sf_dir: str):
+    """Domain-balanced downsampling (training-data mixing): cap every
+    stratum (here documents.lang) at the mean stratum size, keeping an
+    over-represented stratum's rows with probability cap/count and
+    small strata intact. Membership is a pure row function — keep iff
+    the first 8 hex digits of md5(doc_id) are lexicographically below
+    the stratum's threshold hex string (monotonic with the integer
+    value, so it equals u32 < cap*2^32//count) — reproducible,
+    retry-safe and resumable like `sample`, never an RNG stream.
+    Stratum counts are a tiny groupby collected once (n_strata rows)
+    and the threshold dict broadcast via ray.put; the filter pass is
+    stateless shuffle-free map_batches."""
+    import hashlib
+
+    import ray
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+    cnt = docs.groupby("lang").aggregate(Count(alias_name="c")).to_pandas()
+    total = int(cnt["c"].sum())
+    cap = total // len(cnt)
+    thr = {
+        lang: None if c <= cap else format(cap * (1 << 32) // c, "08x")
+        for lang, c in zip(cnt["lang"], cnt["c"].astype(int))
+    }
+    tref = ray.put(thr)
+
+    def f(t: pa.Table) -> pa.Table:
+        th = cached_get(tref)
+        ok = []
+        for i, lang in zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()):
+            h = th[lang]
+            ok.append(h is None or hashlib.md5(str(i).encode()).hexdigest()[:8] < h)
+        return t.filter(pa.array(ok, pa.bool_()))
+
+    return docs.map_batches(f, batch_format="pyarrow")

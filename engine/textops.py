@@ -1434,3 +1434,79 @@ def decontaminate(sf_dir: str, n: int = 3, bench_mod: int = 97):
         )
 
     return docs.map_batches(overlap, batch_format="pyarrow")
+
+
+def remove_boilerplate(sf_dir: str, seg_words: int = 3, min_df: int = 3):
+    """C4-style boilerplate removal at sub-document granularity: the
+    corpus is segmented into consecutive `seg_words`-word chunks, any
+    segment occurring in >= min_df DISTINCT documents is declared
+    boilerplate, and every document is re-emitted with its boilerplate
+    segments removed (original order preserved) plus drop counters.
+
+    Scale shape: per-batch distinct (segment, doc) counts are the
+    combiner (a document is one row, so per-batch distinct-doc counts
+    sum exactly); the groupby output is segment-vocabulary-bounded and
+    the >= min_df slice of it — the actual boilerplate — is smaller
+    still, collected once and broadcast via ray.put; the rewrite pass
+    is a stateless shuffle-free map_batches. The corpus-sized data
+    never enters a shuffle (the alternative corpus⋈frequent join
+    would exchange every segment instance)."""
+    import ray
+    from collections import Counter
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _segments(s: str) -> list[str]:
+        w = s.split(" ")
+        return [
+            " ".join(w[i * seg_words : (i + 1) * seg_words])
+            for i in range((len(w) + seg_words - 1) // seg_words)
+        ]
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for s in t["text"].to_pylist():
+            cnt.update(set(_segments(s)))
+        items = sorted(cnt.items())
+        return pa.table(
+            {
+                "s": pa.array([g for g, _ in items], pa.string()),
+                "d": pa.array([c for _, c in items], pa.int64()),
+            }
+        )
+
+    freq = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Sum("d", alias_name="d"))
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["d"], pa.scalar(int(min_df), pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+        .select_columns(["s"])
+        .to_pandas()  # boilerplate-sized: << segment vocabulary
+    )
+    fref = ray.put(frozenset(freq["s"]))
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        fset = cached_get(fref)
+        ids, texts, n_segs, n_drop = [], [], [], []
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            segs = _segments(s)
+            kept = [g for g in segs if g not in fset]
+            ids.append(i)
+            texts.append(" ".join(kept))
+            n_segs.append(len(segs))
+            n_drop.append(len(segs) - len(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "clean_text": pa.array(texts, pa.string()),
+                "n_segs": pa.array(n_segs, pa.int64()),
+                "n_dropped": pa.array(n_drop, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(rewrite, batch_format="pyarrow")
