@@ -427,7 +427,7 @@ def oracle_sql() -> dict[str, str]:
         # SAME iterations engine.graph.pagerank runs as distributed
         # joins (floor division at 1e9 scale on both sides)
         "pagerank_hosts": _pagerank_sql(3),
-        "graph_components": _components_sql(4),
+        "graph_components": _components_sql(3),
         "graph_degree": (
             f"WITH {_EDGES_CTE}, {_VERTS_CTE}, "
             "o AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1), "

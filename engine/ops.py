@@ -819,11 +819,11 @@ def _minted_blocked_edges(sf_dir: str):
     return ds.map_batches(mint, batch_format="pyarrow")
 
 
-def graph_components(sf_dir: str, n_iter: int = 4):
+def graph_components(sf_dir: str, n_iter: int = 3):
     """Connected components by fixed-round min-label propagation
     (engine.graph.connected_components — iterative bucketed joins +
     groupby-min); the DuckDB oracle unrolls the identical rounds, and
-    4 rounds fully converge on the minted 15-component graph."""
+    3 rounds fully converge on the minted 15-component graph (2 is the diameter bound; chained-shuffle stage overhead at sandbox scale makes every extra round ~20 s, so the margin is one round, not two)."""
     from engine.graph import connected_components
 
     return connected_components(_minted_blocked_edges(sf_dir), n_iter=n_iter).sort(
