@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_rank": ops.window_rank,
         "window_lag": ops.window_lag,
         "window_moving_avg": ops.window_moving_avg,
+        "tumbling_window": ops.tumbling_window,
         "percentile_disc": ops.percentile_disc,
         "pivot_events": ops.pivot_events,
         "rollup_agg": ops.rollup_agg,
@@ -436,6 +437,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(i.idg, 0) AS BIGINT) AS in_deg "
             "FROM v LEFT JOIN o ON v.node = o.src "
             "LEFT JOIN i ON v.node = i.dst"
+        ),
+        "tumbling_window": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_fp FROM events GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "window_lag": (
             "WITH v AS (SELECT user_id, event_id, ts, "

@@ -876,3 +876,33 @@ def stratified_sample(sf_dir: str):
         return t.filter(pa.array(ok, pa.bool_()))
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------------- tumbling window
+def tumbling_window(sf_dir: str):
+    """Streaming-style tumbling-window aggregate: events bucketed into
+    fixed 1-hour windows per event_type — count + exact fixed-point
+    value sum per (type, window). The bucket is computed inside
+    map_batches (pc.floor_temporal — vectorized, no shuffle), so the
+    only all-to-all is the final low-cardinality groupby; per-batch
+    partial aggregation is Ray's built-in combiner. The streaming
+    analogue holds at 100 TB: window assignment is a pure row
+    function, so late/out-of-order events land in the right window
+    regardless of arrival order."""
+    ds = _t(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+                "vu": _cents(t["value"], 1_000_000.0),
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("vu", alias_name="sum_value_fp"))
+        .sort(["event_type", "window_start"])
+    )
