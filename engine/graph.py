@@ -65,8 +65,15 @@ def pagerank(edges, n_iter: int = 3, damping_permille: int = 850):
     from engine.joins import equi_join_bucketed
 
     deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
-    edges_deg = equi_join_bucketed(edges, deg, on="src")
-    verts = vertex_set(edges)
+    # Loop-invariant datasets are MATERIALIZED once (the cached-
+    # adjacency move of every BSP PageRank): every per-iteration
+    # reference to a lazy edges_deg would re-embed the degree join —
+    # an all-to-all — into the lineage, so n_iter iterations would
+    # execute n_iter degree joins and n_iter vertex groupbys instead
+    # of one each. The pins are bounded (adjacency = |E| rows, verts =
+    # |V| rows) and the object store spills them if needed.
+    edges_deg = equi_join_bucketed(edges, deg, on="src").materialize()
+    verts = vertex_set(edges).materialize()
     n = verts.count()
     r0 = SCALE // n
     teleport = (1000 - damping_permille) * r0 // 1000

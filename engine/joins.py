@@ -85,6 +85,16 @@ def _arrow_schema(ds) -> pa.Schema:
     return pa.schema(fields)
 
 
+def _typed_empty(names, ltypes: dict, rtypes: dict):
+    """Zero-row pandas frame with the DECLARED Arrow dtypes. A bare
+    pd.DataFrame(columns=...) is all-object — Ray then sees empty
+    map_groups blocks whose schema differs from the non-empty groups'
+    and spams '...new schema: .' mismatch warnings downstream."""
+    return pa.table(
+        {n: pa.array([], ltypes.get(n, rtypes.get(n))) for n in names}
+    ).to_pandas()
+
+
 def semi_anti_bucketed(left_ds, right_ds, on: str, right_on: str | None = None,
                        keep_present: bool = True, num_buckets: int | None = None):
     """left semi (keep_present=True) / anti (False) join: keep left rows
@@ -197,7 +207,7 @@ def asof_join_bucketed(left_ds, right_ds, on_left: str, on_right: str,
         )
         key_r = on_right if on_right != on_left else on_left
         if len(l) == 0 or len(r) == 0:
-            return pd.DataFrame(columns=lnames + out_rnames)
+            return _typed_empty(lnames + out_rnames, ltypes, rtypes)
         # merge_asof: right sorted by (ts, tiebreak); backward takes
         # the LAST qualifying row (max ts, then max tiebreak — mirrors
         # ORDER BY ts DESC, tiebreak DESC ... rn = 1), forward the
@@ -279,7 +289,7 @@ def equi_join_bucketed(left_ds, right_ds, on: str, right_on: str | None = None,
         l = g.loc[g["__side"] == 0, lnames]
         r = g.loc[g["__side"] == 1, [on] + out_rnames]
         if len(l) == 0 or len(r) == 0:
-            return pd.DataFrame(columns=lnames + out_rnames)
+            return _typed_empty(lnames + out_rnames, ltypes, rtypes)
         m = l.merge(r, on=on, how="inner")
         # null padding makes int columns float64 in the pandas group;
         # restore declared int types (no nulls remain after inner)
