@@ -77,7 +77,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_disc": ops.percentile_disc,
         "pivot_events": ops.pivot_events,
         "rollup_agg": ops.rollup_agg,
+        "cube_agg": ops.cube_agg,
+        "global_rank": ops.global_rank,
         "asof_join": ops.asof_join,
+        "histogram": ops.histogram,
+        "corr_stats": ops.corr_stats,
+        "unpivot_events": ops.unpivot_events,
+        "groupby_salted": ops.groupby_salted,
         "vector_topk": ops.vector_topk,
         # --- link-graph analytics (engine/graph.py) ---
         "pagerank_hosts": ops.pagerank_hosts,
@@ -92,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_topk": textops.ngram_topk,
         "decontaminate": textops.decontaminate,
         "remove_boilerplate": textops.remove_boilerplate,
+        "gopher_quality_filter": textops.gopher_quality_filter,
+        "paragraph_dedup": textops.paragraph_dedup,
+        "pack_sequences": textops.pack_sequences,
         "repetition_filter": textops.repetition_filter,
         "tfidf_topk": textops.tfidf_topk,
         "pii_scrub": textops.pii_scrub,
@@ -200,7 +209,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered per table). Float
     aggregates use exact fixed-point (scale to int64 "cents", sum,
     divide last — see engine.ops._cents) mirrored in the SQL so both
-    sides produce bit-identical doubles. 38 of the 48 queries() entries
+    sides produce bit-identical doubles. 54 of the 64 queries() entries
     are oracle-checked; the 10 rows-only ops (the dedup-pair family,
     approximate ANN, kmeans, fingerprints, crawl_trace) are
     deliberately omitted — not SQL-expressible (LSH / iterative /
@@ -301,6 +310,88 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_quantity, l_extendedprice, l_shipdate "
             "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
             "AND l_shipdate < TIMESTAMP '1996-01-01'"
+        ),
+        "histogram": (
+            "SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin, "
+            "COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1"
+        ),
+        # six exact integer sums, then ONE double expression sequenced
+        # identically on both sides (IEEE sqrt/divide are correctly
+        # rounded, so the doubles are bit-identical)
+        "corr_stats": (
+            "WITH s AS (SELECT COUNT(*) AS n, "
+            "SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sx, "
+            "SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS sy, "
+            "SUM(CAST(ROUND(l_quantity) AS BIGINT) * "
+            "CAST(ROUND(l_discount*100) AS BIGINT)) AS sxy, "
+            "SUM(CAST(ROUND(l_quantity) AS BIGINT) * "
+            "CAST(ROUND(l_quantity) AS BIGINT)) AS sxx, "
+            "SUM(CAST(ROUND(l_discount*100) AS BIGINT) * "
+            "CAST(ROUND(l_discount*100) AS BIGINT)) AS syy FROM lineitem) "
+            "SELECT n, CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "(SQRT(CAST(n*sxx - sx*sx AS DOUBLE)) * "
+            "SQRT(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_disc FROM s"
+        ),
+        "unpivot_events": (
+            "WITH g AS (SELECT DATE_TRUNC('hour', ts) AS hour, event_type, "
+            "COUNT(*) AS n FROM events GROUP BY 1, 2), "
+            "h AS (SELECT DISTINCT DATE_TRUNC('hour', ts) AS hour FROM events), "
+            "ty AS (SELECT UNNEST(['click','error','purchase','signup','view']) "
+            "AS event_type) "
+            "SELECT h.hour, ty.event_type, COALESCE(g.n, 0) AS n "
+            "FROM h CROSS JOIN ty LEFT JOIN g "
+            "ON g.hour = h.hour AND g.event_type = ty.event_type"
+        ),
+        "groupby_salted": (
+            "SELECT l_returnflag, "
+            "CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 "
+            "AS sum_qty, COUNT(*) AS n_rows FROM lineitem GROUP BY 1 ORDER BY 1"
+        ),
+        # exact-integer Gopher gate: mean-word-length bounds tested as
+        # 3·n_words <= letters <= 10·n_words (no float), stop-set hits
+        # via padded-LIKE word containment
+        "gopher_quality_filter": (
+            "WITH f AS (SELECT doc_id, "
+            "len(text) - len(replace(text, ' ', '')) + 1 AS n_words, "
+            "len(replace(text, ' ', '')) AS n_letter_chars, "
+            + " + ".join(
+                f"(CASE WHEN ' '||text||' ' LIKE '% {w} %' THEN 1 ELSE 0 END)"
+                for w in ("the", "a", "of", "to", "and")
+            )
+            + " AS stop_hits FROM documents) "
+            "SELECT doc_id, n_words, n_letter_chars, stop_hits, "
+            "(n_words >= 10 AND n_words <= 100000 AND "
+            "3*n_words <= n_letter_chars AND n_letter_chars <= 10*n_words "
+            "AND stop_hits >= 2) AS keep FROM f"
+        ),
+        # packing = token-offset assignment over the doc_id-ordered
+        # virtual token stream; blocks of 256 tokens; docs may straddle
+        "pack_sequences": (
+            "WITH tc AS (SELECT doc_id, "
+            "len(text) - len(replace(text, ' ', '')) + 1 AS n_tokens "
+            "FROM documents), "
+            "o AS (SELECT doc_id, n_tokens, "
+            "SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) "
+            "- n_tokens AS token_offset FROM tc) "
+            "SELECT doc_id, n_tokens, token_offset, "
+            "token_offset // 256 AS block_start, "
+            "(token_offset + n_tokens - 1) // 256 AS block_end FROM o"
+        ),
+        # keep-first exact paragraph dedup: global first occurrence =
+        # MIN(doc_id*100000 + pos) per segment (pos < 20 in the
+        # synthetic corpus; the engine packs identically)
+        "paragraph_dedup": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents), "
+            "seg AS (SELECT doc_id, CAST((i-1)//5 AS BIGINT) AS pos, "
+            "array_to_string(w[i:i+4], ' ') AS seg "
+            "FROM d, UNNEST(range(1, len(w)+1, 5)) AS t(i)), "
+            "f AS (SELECT seg, MIN(doc_id*100000 + pos) AS fp FROM seg "
+            "GROUP BY 1), "
+            "kept AS (SELECT s.doc_id, s.pos, s.seg FROM seg s JOIN f "
+            "ON s.seg = f.seg AND s.doc_id*100000 + s.pos = f.fp) "
+            "SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup "
+            "FROM kept GROUP BY doc_id"
         ),
         # Float aggregates use exact fixed-point (sum int64 "cents",
         # divide at the end) so ray and DuckDB produce bit-identical
@@ -478,6 +569,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 "
             "AS sum_qty, COUNT(*) AS n "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "cube_agg": (
+            "SELECT COALESCE(l_returnflag,'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus,'ALL') AS l_linestatus, "
+            "CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 "
+            "AS sum_qty, COUNT(*) AS n "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+        ),
+        "global_rank": (
+            "SELECT o_orderkey, o_totalprice, "
+            "ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn, "
+            "NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile "
+            "FROM orders"
         ),
         "ngram_topk": (
             "WITH ws AS (SELECT string_split(text,' ') AS w FROM documents), "

@@ -33,7 +33,8 @@ BENCH_QUERIES = (
     "topk", "sort", "dedup_exact", "json_extract", "date_math",
     "token_count", "quality_score", "lang_id", "dedup_minhash",
     "vector_topk", "window_lag", "pivot_events", "ngram_topk",
-    "tfidf_topk", "repetition_filter", "pii_scrub",
+    "tfidf_topk", "repetition_filter", "pii_scrub", "histogram",
+    "gopher_quality_filter", "paragraph_dedup", "pack_sequences",
 )
 
 

@@ -85,14 +85,26 @@ def _arrow_schema(ds) -> pa.Schema:
     return pa.schema(fields)
 
 
-def _typed_empty(names, ltypes: dict, rtypes: dict):
-    """Zero-row pandas frame with the DECLARED Arrow dtypes. A bare
+def _typed_empty(names, ltypes: dict, rtypes: dict) -> pa.Table:
+    """Zero-row ARROW table with the DECLARED dtypes. A bare
     pd.DataFrame(columns=...) is all-object — Ray then sees empty
     map_groups blocks whose schema differs from the non-empty groups'
     and spams '...new schema: .' mismatch warnings downstream."""
     return pa.table(
         {n: pa.array([], ltypes.get(n, rtypes.get(n))) for n in names}
-    ).to_pandas()
+    )
+
+
+def _arrow_out(df, names) -> pa.Table:
+    """pandas → metadata-free Arrow for map_groups RETURN values: a
+    returned DataFrame becomes a PANDAS block, and when that block
+    enters a further shuffle Ray's schema dedup chokes on the pandas
+    schema ('Failed to hash the schemas … unhashable type: dict') —
+    returning Arrow keeps every downstream stage on hashable Arrow
+    schemas (int columns were already normalized by the caller)."""
+    return pa.Table.from_pandas(df[names], preserve_index=False).replace_schema_metadata(
+        None
+    )
 
 
 def semi_anti_bucketed(left_ds, right_ds, on: str, right_on: str | None = None,
@@ -225,7 +237,7 @@ def asof_join_bucketed(left_ds, right_ds, on_left: str, on_right: str,
         for rn_ in out_rnames:
             if pa.types.is_integer(rtypes[rn_]):
                 m[rn_] = m[rn_].astype("int64")
-        return m
+        return _arrow_out(m, lnames + out_rnames)
 
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
@@ -297,7 +309,7 @@ def equi_join_bucketed(left_ds, right_ds, on: str, right_on: str | None = None,
             ty = ltypes.get(name, rtypes.get(name))
             if pa.types.is_integer(ty):
                 m[name] = m[name].astype("int64")
-        return m[lnames + out_rnames]
+        return _arrow_out(m, lnames + out_rnames)
 
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")

@@ -675,7 +675,12 @@ def pivot_events(sf_dir: str):
         cols = {"hour": pc.floor_temporal(t["ts"], unit="hour")}
         for ty in types:
             cols[f"n_{ty}"] = pc.cast(pc.equal(t["event_type"], ty), pa.int64())
-        return pa.table(cols)
+        return (
+            pa.table(cols)
+            .group_by("hour")
+            .aggregate([(f"n_{ty}", "sum") for ty in types])
+            .rename_columns(["hour"] + [f"n_{ty}" for ty in types])
+        )
 
     return (
         ds.map_batches(pre, batch_format="pyarrow")
@@ -905,4 +910,292 @@ def tumbling_window(sf_dir: str):
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n_events"), Sum("vu", alias_name="sum_value_fp"))
         .sort(["event_type", "window_start"])
+    )
+
+
+# --------------------------------------------------------- histogram
+def histogram(sf_dir: str, bin_width: float = 25000.0):
+    """Equi-width histogram of orders.o_totalprice. Bin assignment is a
+    pure row function (floor(x / width) — IEEE divide+floor, identical
+    in DuckDB) computed vectorized in map_batches, then combined
+    per batch with a pyarrow group_by so the shuffle carries ≤
+    bins-per-batch rows; the global groupby-sum over bin partials is
+    the only all-to-all. At 100 TB the shuffle payload stays O(bins ×
+    blocks) regardless of row count."""
+    ds = _t(sf_dir, "orders", ["o_totalprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(t["o_totalprice"], bin_width)), pa.int64())
+        return (
+            pa.table({"bin": b, "one": pa.nulls(len(t), pa.int64()).fill_null(1)})
+            .group_by("bin")
+            .aggregate([("one", "sum")])
+            .rename_columns(["bin", "n"])
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("bin")
+    )
+
+
+# -------------------------------------------------------- corr_stats
+def corr_stats(sf_dir: str):
+    """Pearson correlation of l_quantity vs l_discount from EXACT
+    integer partial sums (n, Σx, Σy, Σxy, Σx², Σy² over small
+    fixed-point ints — qty ≤ 50, discount·100 ≤ 10, so every partial
+    fits int64 at any row count that fits a cluster). The six sums are
+    Ray's built-in partial+final Sum/Count combiners (one tiny
+    shuffle); the final r = (nΣxy−ΣxΣy)/(√(nΣx²−Σx²)·√(nΣy²−Σy²)) is
+    one driver-side expression over exact ints, sequenced identically
+    in the SQL oracle, so the double matches bit-exactly."""
+    ds = _t(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        x = _cents(t["l_quantity"], 1.0)
+        y = _cents(t["l_discount"], 100.0)
+        return pa.table(
+            {
+                "x": x,
+                "y": y,
+                "xy": pc.multiply(x, y),
+                "xx": pc.multiply(x, x),
+                "yy": pc.multiply(y, y),
+            }
+        )
+
+    o = ds.map_batches(pre, batch_format="pyarrow").aggregate(
+        Sum("x", alias_name="sx"), Sum("y", alias_name="sy"),
+        Sum("xy", alias_name="sxy"), Sum("xx", alias_name="sxx"),
+        Sum("yy", alias_name="syy"), Count(alias_name="n"),
+    )
+    import math
+
+    n, sx, sy = o["n"], o["sx"], o["sy"]
+    cov = float(n * o["sxy"] - sx * sy)
+    vx = float(n * o["sxx"] - sx * sx)
+    vy = float(n * o["syy"] - sy * sy)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "corr_qty_disc": pa.array(
+                [cov / (math.sqrt(vx) * math.sqrt(vy))], pa.float64()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------- unpivot
+def unpivot_events(sf_dir: str):
+    """UNPIVOT/melt: the wide per-hour pivot spread back to long
+    (hour, event_type, n) rows INCLUDING explicit zero cells — the
+    inverse of pivot_events. The wide input is already
+    bins×types-sized (pivot's combiner did the data-sized work), so
+    the melt is a row-bounded map_batches expansion, no extra
+    shuffle."""
+    types = ("click", "view", "purchase", "signup", "error")
+    wide = pivot_events(sf_dir)
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = [
+            pa.table(
+                {
+                    "hour": t["hour"],
+                    "event_type": pa.nulls(len(t), pa.string()).fill_null(ty),
+                    "n": t[f"n_{ty}"],
+                }
+            )
+            for ty in types
+        ]
+        return pa.concat_tables(parts)
+
+    return wide.map_batches(melt, batch_format="pyarrow").sort(
+        ["hour", "event_type"]
+    )
+
+
+# ---------------------------------------------------- salted groupby
+def groupby_salted(sf_dir: str, n_salts: int = 16):
+    """Hot-key-resistant two-phase aggregate: lineitem grouped by
+    l_returnflag — THREE keys over the whole table, the canonical
+    skew case where a single-phase map_groups would put ~N/3 rows in
+    one worker. Phase 1 groups by (key, salt) with salt =
+    row-hash % n_salts computed vectorized in map_batches (spreads
+    each hot key over n_salts reducers); phase 2 re-groups the
+    n_keys×n_salts partials by key. For built-in Sum/Count Ray
+    already combines per batch, so this operator documents and
+    preserves the pattern where it MATTERS: any map_groups-style
+    aggregate (exact medians, top-k lists) whose combiner is manual.
+    Result is identical to the unsalted groupby and oracle-checked."""
+    from engine.joins import _mix64
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_orderkey"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        salt = _mix64(k.astype(np.int64).view(np.uint64)) % np.uint64(n_salts)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "salt": pa.array(salt.astype(np.int32)),
+                "qty_c": _cents(t["l_quantity"], 100.0),
+            }
+        )
+
+    partial = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["l_returnflag", "salt"])
+        .aggregate(Sum("qty_c", alias_name="qty_c"), Count(alias_name="n"))
+    )
+    return (
+        partial.groupby("l_returnflag")
+        .aggregate(Sum("qty_c", alias_name="qty_c2"), Sum("n", alias_name="n_rows"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "sum_qty": pc.divide(
+                        pc.cast(t["qty_c2"], pa.float64()), 100.0
+                    ),
+                    "n_rows": t["n_rows"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("l_returnflag")
+    )
+
+
+# -------------------------------------------------------------- cube
+def cube_agg(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) — sum_qty + count at
+    all FOUR grouping levels (detail, each single key, grand total).
+    Same plan as rollup_agg: ONE data-sized shuffle (the detailed
+    groupby over exact fixed-point partials), every coarser level
+    derived from the key-cardinality-sized detailed aggregate on the
+    driver; 'ALL' sentinel for rolled-up cells."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": _cents(t["l_quantity"], 100.0),
+            }
+        )
+
+    detailed = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty_c", alias_name="qty_c"), Count(alias_name="n"))
+        .to_pandas()  # bounded by group-key cardinality, not data size
+    )
+    by_flag = (
+        detailed.groupby("l_returnflag", as_index=False)[["qty_c", "n"]]
+        .sum()
+        .assign(l_linestatus="ALL")
+    )
+    by_status = (
+        detailed.groupby("l_linestatus", as_index=False)[["qty_c", "n"]]
+        .sum()
+        .assign(l_returnflag="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "qty_c": [detailed["qty_c"].sum()],
+            "n": [detailed["n"].sum()],
+        }
+    )
+    out = pd.concat([detailed, by_flag, by_status, total], ignore_index=True)
+    out = out.sort_values(["l_returnflag", "l_linestatus"], kind="mergesort")
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            "sum_qty": pa.array(out["qty_c"].astype(np.int64) / 100.0, pa.float64()),
+            "n": pa.array(out["n"].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------- global rank
+def global_rank(sf_dir: str, n_tiles: int = 4, bin_width: float = 25000.0):
+    """Global ROW_NUMBER + NTILE over orders ordered by
+    (o_totalprice, o_orderkey) — the distributed total ranking a
+    single-node window function can't do at 10^10 rows. Two-pass
+    prefix-sum plan (same shape as textops.pack_sequences): rows are
+    keyed by a VALUE-range bin (floor(price/width) — order-preserving,
+    so every row in bin b outranks every row in bins < b); per-bin
+    counts come from one combiner groupby; the driver cumsums the
+    O(#bins) counts and broadcasts the bin base ranks; a per-bin
+    map_groups sorts its own slice vectorized and adds the base.
+    Nothing data-sized touches the driver. NTILE uses the exact SQL
+    rule: tile = (rn-1) // ceil-sized big tiles, i.e. DuckDB's
+    NTILE(n) with remainder tiles first."""
+    import ray
+
+    from engine.util import cached_get as _cg
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(t["o_totalprice"], bin_width)), pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice": t["o_totalprice"],
+                "bin": b,
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    per_bin = (
+        tagged.groupby("bin")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()  # O(#bins), not data-sized
+        .sort_values("bin")
+    )
+    counts = per_bin["c"].astype(int)
+    base = dict(zip(per_bin["bin"].astype(int), counts.cumsum() - counts))
+    n_total = int(counts.sum())
+    bref = ray.put(base)
+    # NTILE(n) over n_total rows: first (n_total % n) tiles have
+    # ceil(n_total/n) rows, the rest floor(n_total/n)
+    big = -(-n_total // n_tiles)
+    small = n_total // n_tiles
+    n_big = n_total % n_tiles
+    cut = n_big * big  # ranks 1..cut live in big tiles
+
+    def rank_bin(g: pd.DataFrame) -> pa.Table:
+        b = _cg(bref)
+        g = g.sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
+        rn = int(b[int(g["bin"].iloc[0])]) + np.arange(1, len(g) + 1)
+        if n_big:
+            tile = np.where(
+                rn <= cut,
+                (rn - 1) // big + 1,
+                n_big + (rn - 1 - cut) // small + 1,
+            )
+        else:
+            tile = (rn - 1) // small + 1
+        return pa.table(
+            {
+                "o_orderkey": pa.array(g["o_orderkey"].to_numpy(), pa.int64()),
+                "o_totalprice": pa.array(
+                    g["o_totalprice"].to_numpy(), pa.float64()
+                ),
+                "rn": pa.array(rn.astype(np.int64)),
+                "tile": pa.array(tile.astype(np.int64)),
+            }
+        )
+
+    return (
+        tagged.groupby("bin")
+        .map_groups(rank_bin, batch_format="pandas")
+        .select_columns(["o_orderkey", "o_totalprice", "rn", "tile"])
     )

@@ -1510,3 +1510,231 @@ def remove_boilerplate(sf_dir: str, seg_words: int = 3, min_df: int = 3):
         )
 
     return docs.map_batches(rewrite, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality gate
+# ---------------------------------------------------------------------------
+
+_GOPHER_REQUIRED = ("the", "a", "of", "to", "and")
+
+
+def gopher_quality_filter(sf_dir: str, min_words: int = 10,
+                          max_words: int = 100_000):
+    """Gopher-rules document gate (Rae et al. 2021, Table A1 shape):
+    keep a document iff (1) word count in [min_words, max_words],
+    (2) mean word length in [3, 10] — tested as exact integer
+    inequalities 3·n_words ≤ n_letter_chars ≤ 10·n_words, no float
+    division, and (3) it contains ≥ 2 distinct words from a required
+    stop-set (the/a/of/to/and). Everything is vectorized
+    pyarrow.compute over zero-copy batches (word counts from
+    space-count arithmetic, stop-set hits via match_substring on the
+    space-padded text); stateless map_batches, no shuffle — the gate
+    runs at read bandwidth at any corpus size."""
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        nchars = pc.cast(pc.utf8_length(txt), pa.int64())
+        nospace = pc.cast(
+            pc.utf8_length(pc.replace_substring(txt, " ", "")), pa.int64()
+        )
+        nwords = pc.add(pc.subtract(nchars, nospace), 1)
+        padded = pc.binary_join_element_wise(
+            pa.nulls(len(t), pa.string()).fill_null(" "),
+            txt,
+            pa.nulls(len(t), pa.string()).fill_null(" "),
+            "",
+        )
+        hits = pa.nulls(len(t), pa.int64()).fill_null(0)
+        for w in _GOPHER_REQUIRED:
+            hits = pc.add(
+                hits,
+                pc.cast(pc.match_substring(padded, f" {w} "), pa.int64()),
+            )
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(nwords, min_words),
+                    pc.less_equal(nwords, max_words),
+                ),
+                pc.and_(
+                    pc.less_equal(pc.multiply(nwords, 3), nospace),
+                    pc.less_equal(nospace, pc.multiply(nwords, 10)),
+                ),
+            ),
+            pc.greater_equal(hits, 2),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": nwords,
+                "n_letter_chars": nospace,
+                "stop_hits": hits,
+                "keep": keep,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide exact paragraph dedup (keep-first)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(sf_dir: str, seg_words: int = 5):
+    """Exact sub-document dedup, keep-first (the Lee et al. 2022
+    "Deduplicating Training Data" exact-substring shape at paragraph
+    granularity): the corpus is segmented into consecutive
+    `seg_words`-word chunks; every occurrence of a segment other than
+    its global FIRST occurrence (minimum (doc_id, pos), packed into
+    one int64) is dropped; each document is re-emitted with its
+    surviving segments in original order.
+
+    Scale shape — unlike remove_boilerplate (whose frequent-set is
+    tiny and broadcastable), the keep-first winner set is
+    corpus-sized, so nothing is broadcast or driver-materialized:
+    (1) segment emission is a stateless flat map; (2) first
+    occurrences are a groupby-min over the packed position (built-in
+    partial+final combiner, shuffle payload = one row per distinct
+    segment instance); (3) winners rejoin occurrences via the
+    co-partitioned engine.joins.equi_join_bucketed on the segment
+    text — both sides hash-bucketed, one all-to-all, no driver; (4)
+    documents are reassembled with a coarse-bucketed map_groups
+    (util.scaled_buckets — never one group per doc). Docs whose every
+    segment loses vanish from the output, exactly like the SQL."""
+    from engine.joins import _mix64, equi_join_bucketed
+    from engine.util import scaled_buckets
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def segs(t: pa.Table) -> pa.Table:
+        ids, poss, ss = [], [], []
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            w = s.split(" ")
+            for p in range((len(w) + seg_words - 1) // seg_words):
+                ids.append(i)
+                poss.append(p)
+                ss.append(" ".join(w[p * seg_words : (p + 1) * seg_words]))
+        packed = [i * 100_000 + p for i, p in zip(ids, poss)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "packed": pa.array(packed, pa.int64()),
+                "seg": pa.array(ss, pa.string()),
+            }
+        )
+
+    occurrences = docs.map_batches(segs, batch_format="pyarrow")
+    firsts = (
+        occurrences.select_columns(["seg", "packed"])
+        .groupby("seg")
+        .aggregate(Min("packed", alias_name="first_packed"))
+    )
+    joined = equi_join_bucketed(occurrences, firsts, on="seg")
+    kept = joined.map_batches(
+        lambda t: t.filter(pc.equal(t["packed"], t["first_packed"])).select(
+            ["doc_id", "pos", "seg"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    nb = _scaled_buckets(256)
+
+    def tag(t: pa.Table) -> pa.Table:
+        x = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = _mix64(x.astype(np.int64).view(np.uint64)) % np.uint64(nb)
+        return t.append_column("bucket", pa.array(b.astype(np.int32)))
+
+    def reassemble(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["doc_id", "pos"], kind="mergesort")
+        out = g.groupby("doc_id", sort=False)["seg"].agg(" ".join).reset_index()
+        # Arrow return (not pandas) so downstream schema dedup stays on
+        # hashable Arrow schemas — see engine.joins._arrow_out
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "text_dedup": pa.array(out["seg"], pa.string()),
+            }
+        )
+
+    return (
+        kept.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reassemble, batch_format="pandas")
+        .select_columns(["doc_id", "text_dedup"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(sf_dir: str, block_tokens: int = 256,
+                   range_width: int = 512):
+    """LLM-training sequence packing, token-offset form: documents in
+    doc_id order form one virtual token stream; each doc gets its
+    global token offset and the [block_start, block_end] range of the
+    fixed-size training blocks it lands in (docs may straddle blocks —
+    the concat-then-chunk packing used for pretraining batches).
+
+    The global running sum is a DISTRIBUTED PREFIX SUM — the canonical
+    two-pass shape, no sorted-driver loop: (1) docs are RANGE-keyed
+    (doc_id // range_width — ids are dense, so ranges are balanced);
+    per-range token sums come from one combiner groupby; (2) the
+    driver cumsums the per-range sums (O(#ranges), ~rows/range_width —
+    at 10^10 docs pick range_width so this stays ~10^6) and broadcasts
+    the offsets via ray.put; (3) a per-range map_groups sorts its own
+    slice, local-cumsums vectorized, and adds the broadcast base.
+    Nothing data-sized touches the driver; the only all-to-alls are
+    the range groupbys."""
+    import ray
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def tc(t: pa.Table) -> pa.Table:
+        nchars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        nws = pc.cast(
+            pc.utf8_length(pc.replace_substring(t["text"], " ", "")), pa.int64()
+        )
+        n = pc.add(pc.subtract(nchars, nws), 1)
+        rng = pc.divide(t["doc_id"], pa.scalar(range_width, pa.int64()))
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n, "rng": rng})
+
+    counted = docs.map_batches(tc, batch_format="pyarrow")
+    per_range = (
+        counted.groupby("rng")
+        .aggregate(Sum("n_tokens", alias_name="s"))
+        .to_pandas()  # bounded: one row per range, not per doc
+        .sort_values("rng")
+    )
+    base = dict(
+        zip(
+            per_range["rng"].astype(int),
+            per_range["s"].astype(int).cumsum() - per_range["s"].astype(int),
+        )
+    )
+    bref = ray.put(base)
+
+    def pack(g: pd.DataFrame) -> pa.Table:
+        b = cached_get(bref)
+        g = g.sort_values("doc_id", kind="mergesort")
+        n = g["n_tokens"].to_numpy(np.int64)
+        off = int(b[int(g["rng"].iloc[0])]) + (np.cumsum(n) - n)
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "n_tokens": pa.array(n),
+                "token_offset": pa.array(off),
+                "block_start": pa.array(off // block_tokens),
+                "block_end": pa.array((off + n - 1) // block_tokens),
+            }
+        )
+
+    return (
+        counted.groupby("rng")
+        .map_groups(pack, batch_format="pandas")
+        .select_columns(
+            ["doc_id", "n_tokens", "token_offset", "block_start", "block_end"]
+        )
+    )

@@ -1,0 +1,118 @@
+"""Extra invariants for the round-3 training-data operators beyond the
+auto-parametrized oracle rows in test_queries.py: parameter/partition
+invariance and non-default-parameter oracles."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def test_pack_sequences_range_width_invariant(ray_session):
+    """The distributed prefix sum must be independent of the range
+    partitioning: any range_width produces the same global offsets."""
+    from engine.textops import pack_sequences
+
+    a = _norm(pack_sequences(SF, range_width=512).to_pandas())
+    b = _norm(pack_sequences(SF, range_width=7).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    # offsets are a permutation-free exact prefix sum
+    s = a.sort_values("doc_id").reset_index(drop=True)
+    assert s["token_offset"].iloc[0] == 0
+    expect = (s["n_tokens"].cumsum() - s["n_tokens"]).astype("int64")
+    assert (s["token_offset"] == expect).all()
+
+
+def test_pack_sequences_block_bounds(ray_session):
+    from engine.textops import pack_sequences
+
+    df = pack_sequences(SF, block_tokens=64).to_pandas()
+    assert (df["block_start"] == df["token_offset"] // 64).all()
+    assert (
+        df["block_end"] == (df["token_offset"] + df["n_tokens"] - 1) // 64
+    ).all()
+    assert (df["block_end"] >= df["block_start"]).all()
+
+
+@pytest.mark.parametrize("seg_words", [3, 5])
+def test_paragraph_dedup_nondefault_seg_vs_sql(ray_session, seg_words):
+    """keep-first exact segment dedup at a NON-default segment width
+    matches an inline DuckDB oracle built for that width."""
+    from engine.textops import paragraph_dedup
+
+    ray_df = _norm(paragraph_dedup(SF, seg_words=seg_words).to_pandas())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    w = seg_words
+    sql_df = _norm(
+        con.sql(
+            f"WITH d AS (SELECT doc_id, string_split(text, ' ') AS w "
+            f"FROM documents), "
+            f"seg AS (SELECT doc_id, CAST((i-1)//{w} AS BIGINT) AS pos, "
+            f"array_to_string(w[i:i+{w - 1}], ' ') AS seg "
+            f"FROM d, UNNEST(range(1, len(w)+1, {w})) AS t(i)), "
+            f"f AS (SELECT seg, MIN(doc_id*100000 + pos) AS fp FROM seg "
+            f"GROUP BY 1), "
+            f"kept AS (SELECT s.doc_id, s.pos, s.seg FROM seg s JOIN f "
+            f"ON s.seg = f.seg AND s.doc_id*100000 + s.pos = f.fp) "
+            f"SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup "
+            f"FROM kept GROUP BY doc_id"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(ray_df, sql_df)
+
+
+def test_paragraph_dedup_idempotent(ray_session):
+    """Running the dedup over an already-deduped corpus keeps every
+    surviving segment: a second pass must change nothing except via
+    re-segmentation — so we check the weaker exact invariant that no
+    output text contains the same segment twice."""
+    from engine.textops import paragraph_dedup
+
+    df = paragraph_dedup(SF, seg_words=5).to_pandas()
+    for t in df["text_dedup"]:
+        words = t.split(" ")
+        segs = [
+            " ".join(words[i : i + 5]) for i in range(0, len(words), 5)
+        ]
+        assert len(segs) == len(set(segs))
+
+
+def test_groupby_salted_matches_unsalted(ray_session):
+    """Salted two-phase aggregate == single-phase result at any salt
+    fan-out."""
+    from engine.ops import groupby_salted
+
+    a = _norm(groupby_salted(SF, n_salts=16).to_pandas())
+    b = _norm(groupby_salted(SF, n_salts=3).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_gopher_filter_rules(ray_session):
+    """The keep bit is exactly the conjunction of the three rules."""
+    from engine.textops import gopher_quality_filter
+
+    df = gopher_quality_filter(SF).to_pandas()
+    rule = (
+        (df["n_words"] >= 10)
+        & (df["n_words"] <= 100_000)
+        & (3 * df["n_words"] <= df["n_letter_chars"])
+        & (df["n_letter_chars"] <= 10 * df["n_words"])
+        & (df["stop_hits"] >= 2)
+    )
+    assert (df["keep"] == rule).all()
+    # the synthetic corpus must exercise BOTH branches
+    assert df["keep"].any() and (~df["keep"]).any()
