@@ -1329,6 +1329,11 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
             break
     if f0_writer is not None:  # max_rounds=0 or never-entered loop
         f0_writer.join()
+    if robots_pool is not None:
+        # internal to this run (rebuilt from the pages scan on resume);
+        # killing it here keeps repeated run_crawl calls in one Ray
+        # session from accumulating actor state
+        robots_pool.shutdown()
     if _PROFILE:
         import sys as _sys
 

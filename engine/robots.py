@@ -201,6 +201,17 @@ class RobotsShardPool:
         self._memo: dict[str, RobotsRules] = {}
         self._memo_cap = memo_cap
 
+    def shutdown(self) -> None:
+        """Kill the shard actors (run_crawl calls this when its run
+        finishes — the pool is rebuilt from the pages scan on resume,
+        so nothing is lost, and repeated runs in one Ray session don't
+        accumulate actor state)."""
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
     def get_texts(self, hosts: list[str]) -> dict[str, str]:
         import ray
 

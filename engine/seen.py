@@ -209,11 +209,28 @@ class SeenPool:
 
         self.num_shards = num_shards
         self.mode = mode
-        Actor = ray.remote(num_cpus=0.25)(SeenShard)
+        # num_cpus=0 (like RobotsShardActor): these are state-holder
+        # RPC actors whose work runs inside short handler calls; a
+        # nonzero reservation ACCUMULATES across pools kept alive by
+        # their owners (res.pool) and starves the 1-CPU map tasks +
+        # fractional shuffle aggregators — at num_cpus=4 two leaked
+        # 4-shard pools at 0.25 each deadlocked an unrelated groupby.
+        Actor = ray.remote(num_cpus=0)(SeenShard)
         self.actors = [
             Actor.remote(mode=mode, capacity=capacity_per_shard)
             for _ in range(num_shards)
         ]
+
+    def shutdown(self) -> None:
+        """Kill the shard actors. Callers that own the pool and are
+        done with the seen state (e.g. test teardown, a finished
+        one-shot crawl) should call this; run_crawl never does — the
+        returned res.pool stays queryable."""
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
 
     def check_and_add(self, keys: list[bytes], round_no: int) -> np.ndarray:
         """Batched routed RPC from the driver (used for seeds; the
