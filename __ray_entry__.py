@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_stats": ops.corr_stats,
         "unpivot_events": ops.unpivot_events,
         "groupby_salted": ops.groupby_salted,
+        "approx_distinct_hll": ops.approx_distinct_hll,
+        "jsonl_roundtrip": ops.jsonl_roundtrip,
+        "csv_roundtrip": ops.csv_roundtrip,
         "vector_topk": ops.vector_topk,
         # --- link-graph analytics (engine/graph.py) ---
         "pagerank_hosts": ops.pagerank_hosts,
@@ -101,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_filter": textops.gopher_quality_filter,
         "paragraph_dedup": textops.paragraph_dedup,
         "pack_sequences": textops.pack_sequences,
+        "heavy_hitters": textops.heavy_hitters,
         "repetition_filter": textops.repetition_filter,
         "tfidf_topk": textops.tfidf_topk,
         "pii_scrub": textops.pii_scrub,
@@ -209,7 +213,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered per table). Float
     aggregates use exact fixed-point (scale to int64 "cents", sum,
     divide last — see engine.ops._cents) mirrored in the SQL so both
-    sides produce bit-identical doubles. 54 of the 64 queries() entries
+    sides produce bit-identical doubles. 58 of the 68 queries() entries
     are oracle-checked; the 10 rows-only ops (the dedup-pair family,
     approximate ANN, kmeans, fingerprints, crawl_trace) are
     deliberately omitted — not SQL-expressible (LSH / iterative /
@@ -569,6 +573,44 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 "
             "AS sum_qty, COUNT(*) AS n "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        # a BIT-EXACT-checked sketch: md5 hash mirrored, registers an
+        # integer groupby-max, harmonic sum exact HUGEINT/bigint, one
+        # identically sequenced raw-estimate double (no small-range
+        # correction on either side, by design)
+        "approx_distinct_hll": (
+            "WITH u AS (SELECT CAST(concat('0x', "
+            "substr(md5(CAST(l_orderkey AS VARCHAR)),1,16)) AS UBIGINT) AS h "
+            "FROM lineitem), "
+            "r AS (SELECT CAST(h % 1024 AS BIGINT) AS bucket, "
+            "CASE WHEN h // 1024 = 0 THEN 55 "
+            "ELSE 55 - length(bin(h // 1024)) END AS rank FROM u), "
+            "regs AS (SELECT bucket, MAX(rank) AS mr FROM r GROUP BY 1), "
+            "s AS (SELECT SUM(CAST(POWER(2, 64 - mr) AS HUGEINT)) + "
+            "(1024 - COUNT(*)) * CAST(POWER(2, 64) AS HUGEINT) AS ss FROM regs) "
+            "SELECT CAST(1024 AS BIGINT) AS m, "
+            "CAST(FLOOR((0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 "
+            "* 18446744073709551616.0 / CAST(ss AS DOUBLE) * 1000000.0 + 0.5) "
+            "AS BIGINT) / 1000000.0 AS est_distinct FROM s"
+        ),
+        # round-trips prove the non-parquet source/sink paths: the
+        # aggregate after write_json/read_json (write_csv/read_csv)
+        # must equal the parquet-side aggregate
+        "jsonl_roundtrip": (
+            "SELECT lang, COUNT(*) AS n, SUM(doc_id) AS sum_ids "
+            "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "csv_roundtrip": (
+            "SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_ids "
+            "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        # the sketch stages only PRUNE; the emitted set is the exact
+        # >= pct% term set, so the oracle is the plain GROUP BY/HAVING
+        "heavy_hitters": (
+            "WITH w AS (SELECT UNNEST(string_split(text,' ')) AS term "
+            "FROM documents), tot AS (SELECT COUNT(*) AS n FROM w) "
+            "SELECT term, COUNT(*) AS n_occ FROM w GROUP BY term "
+            "HAVING COUNT(*) * 100 >= 1 * (SELECT n FROM tot)"
         ),
         "cube_agg": (
             "SELECT COALESCE(l_returnflag,'ALL') AS l_returnflag, "

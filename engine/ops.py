@@ -1199,3 +1199,102 @@ def global_rank(sf_dir: str, n_tiles: int = 4, bin_width: float = 25000.0):
         .map_groups(rank_bin, batch_format="pandas")
         .select_columns(["o_orderkey", "o_totalprice", "rn", "tile"])
     )
+
+
+# ------------------------------------------------ approx distinct HLL
+def approx_distinct_hll(sf_dir: str, b: int = 10):
+    """HyperLogLog distinct-count sketch over lineitem.l_orderkey —
+    oracle-checked BIT-EXACTLY, which is unusual for a sketch: the
+    hash is md5 (deterministic, mirrored in SQL), registers are an
+    exact integer groupby-MAX, the harmonic sum is EXACT integer
+    arithmetic (Σ 2^(64-M_j) in Python bigints / DuckDB HUGEINT — no
+    float-summation order hazard), and the single raw-estimate double
+    expression is sequenced identically on both sides. The small-range
+    (linear-counting) correction is deliberately omitted so the
+    estimator stays one mirrorable expression; accuracy at tiny
+    cardinalities is accordingly raw-HLL (documented, tested with a
+    wide bound at sf0.001).
+
+    Scale shape: the per-batch combiner collapses every batch to ≤ m
+    (bucket, rank) rows via numpy maximum-scatter, the only shuffle is
+    a ≤ m×blocks-row groupby-MAX, and the driver folds m=2^b rows —
+    the sketch is O(m) state at ANY corpus size, the whole point of
+    HLL at 100 TB."""
+    import hashlib
+
+    m = 1 << b
+    ds = _t(sf_dir, "lineitem", ["l_orderkey"])
+
+    def regs(t: pa.Table) -> pa.Table:
+        r = np.zeros(m, dtype=np.int64)
+        for key in t["l_orderkey"].to_pylist():
+            h = int(hashlib.md5(str(key).encode()).hexdigest()[:16], 16)
+            v = h // m  # bucket = h % m, rank from the 54-bit suffix
+            rank = 55 - v.bit_length() if v else 55
+            bkt = h % m
+            if rank > r[bkt]:
+                r[bkt] = rank
+        nz = np.flatnonzero(r)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64)),
+                "r": pa.array(r[nz]),
+            }
+        )
+
+    folded = (
+        ds.map_batches(regs, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("r", alias_name="mr"))
+        .to_pandas()  # ≤ m rows by construction
+    )
+    ss = sum(1 << (64 - int(x)) for x in folded["mr"]) + (m - len(folded)) * (
+        1 << 64
+    )
+    import math
+
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    est = alpha * float(m) * float(m) * 18446744073709551616.0 / float(ss)
+    # half-away-from-zero like SQL ROUND (Python round() is banker's)
+    est6 = math.floor(est * 1000000.0 + 0.5) / 1000000.0
+    return pa.table(
+        {"m": pa.array([m], pa.int64()), "est_distinct": pa.array([est6])}
+    )
+
+
+# ------------------------------------------------- format round-trips
+def jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + source parity: documents (doc_id, lang) written as
+    partitioned JSON-lines by Ray tasks, read back with read_json, and
+    aggregated. Proves the non-parquet format path end-to-end (the
+    aggregate matches the parquet-side oracle bit-exactly). Output
+    stays partitioned (one file per block) — the resumable-output
+    rule, never one giant file."""
+    import tempfile
+
+    import ray.data as rd
+
+    out = tempfile.mkdtemp(prefix="jsonl_rt_")
+    _t(sf_dir, "documents", ["doc_id", "lang"]).write_json(out)
+    return (
+        rd.read_json(out)
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"), Sum("doc_id", alias_name="sum_ids"))
+        .sort("lang")
+    )
+
+
+def csv_roundtrip(sf_dir: str):
+    """CSV sink + source parity (same contract as jsonl_roundtrip)."""
+    import tempfile
+
+    import ray.data as rd
+
+    out = tempfile.mkdtemp(prefix="csv_rt_")
+    _t(sf_dir, "events", ["event_id", "event_type"]).write_csv(out)
+    return (
+        rd.read_csv(out)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("event_id", alias_name="sum_ids"))
+        .sort("event_type")
+    )

@@ -1738,3 +1738,101 @@ def pack_sequences(sf_dir: str, block_tokens: int = 256,
             ["doc_id", "n_tokens", "token_offset", "block_start", "block_end"]
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (Misra-Gries candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+def heavy_hitters(sf_dir: str, pct: int = 1, mg_k: int = 256,
+                  cand_cap: int = 400):
+    """Terms occurring in ≥ `pct`% of all word occurrences — found at
+    corpus scale WITHOUT a corpus-sized shuffle, then verified exactly
+    (so the op is oracle-checked against the plain GROUP BY/HAVING).
+
+    Three stages, none data-sized past the first map:
+    (1) per-batch Misra-Gries(mg_k) summaries — each batch collapses
+        to ≤ mg_k (term, lower-bound count) rows. The MG guarantee:
+        the batch counter for t is ≥ freq_batch(t) − n_batch/mg_k, so
+        summed over batches lb(t) ≥ freq(t) − n/mg_k.
+    (2) candidate cut: groupby-sum the lower bounds (candidate-row-
+        sized shuffle, ≤ mg_k·blocks rows) and keep the top
+        `cand_cap` by (lb, term). Safety: any true pct%-hitter has
+        lb ≥ n·(1/100·pct − 1/mg_k) > 0, and at most
+        1/(pct/100 − 1/mg_k) ≈ 164 terms (pct=1, mg_k=256) can have
+        that much lb-mass, so cand_cap=400 provably contains every
+        true hitter.
+    (3) exact verify: candidates broadcast via ray.put (≤ cand_cap
+        strings), one shuffle-free per-batch count of candidate
+        occurrences + total words, a candidate-sized groupby-sum,
+        threshold n_occ·100 ≥ pct·n_total in exact integers."""
+    import ray
+    from collections import Counter
+
+    docs = _docs(sf_dir, ["text"])
+
+    def mg_batch(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for s in t["text"].to_pylist():
+            for w in s.split(" "):
+                if w in cnt or len(cnt) < mg_k:
+                    cnt[w] += 1
+                else:
+                    # decrement-all step, drop zeros (classic MG)
+                    for key in [k for k, v in cnt.items() if v == 1]:
+                        del cnt[key]
+                    for key in cnt:
+                        cnt[key] -= 1
+        items = sorted(cnt.items())
+        return pa.table(
+            {
+                "term": pa.array([k for k, _ in items], pa.string()),
+                "lb": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+
+    cand = (
+        docs.map_batches(mg_batch, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("lb", alias_name="lb"))
+        .to_pandas()  # ≤ mg_k · blocks rows; the cut below is cand_cap
+        .sort_values(["lb", "term"], ascending=[False, True], kind="mergesort")
+        .head(cand_cap)
+    )
+    cref = ray.put(frozenset(cand["term"]))
+
+    def verify(t: pa.Table) -> pa.Table:
+        cs = cached_get(cref)
+        cnt: Counter = Counter()
+        total = 0
+        for s in t["text"].to_pylist():
+            ws = s.split(" ")
+            total += len(ws)
+            for w in ws:
+                if w in cs:
+                    cnt[w] += 1
+        items = sorted(cnt.items())
+        return pa.table(
+            {
+                "term": pa.array([k for k, _ in items] + ["\x00total"],
+                                 pa.string()),
+                "n": pa.array([v for _, v in items] + [total], pa.int64()),
+            }
+        )
+
+    counted = (
+        docs.map_batches(verify, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n_occ"))
+        .to_pandas()  # ≤ cand_cap + 1 rows
+    )
+    total = int(counted.loc[counted["term"] == "\x00total", "n_occ"].iloc[0])
+    out = counted[counted["term"] != "\x00total"]
+    out = out[out["n_occ"] * 100 >= pct * total]
+    out = out.sort_values("term", kind="mergesort")
+    return pa.table(
+        {
+            "term": pa.array(out["term"], pa.string()),
+            "n_occ": pa.array(out["n_occ"].astype(np.int64), pa.int64()),
+        }
+    )
