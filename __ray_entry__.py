@@ -56,6 +56,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_broadcast": ops.join_broadcast,
         "join_semi": ops.join_semi,
         "join_anti": ops.join_anti,
+        "join_left": ops.join_left,
+        "intersect_distinct": ops.intersect_distinct,
+        "except_distinct": ops.except_distinct,
         "topk": ops.topk,
         "topk_groups": ops.topk_groups,
         "sort": ops.sort_orders,
@@ -213,7 +216,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered per table). Float
     aggregates use exact fixed-point (scale to int64 "cents", sum,
     divide last — see engine.ops._cents) mirrored in the SQL so both
-    sides produce bit-identical doubles. 58 of the 68 queries() entries
+    sides produce bit-identical doubles. 61 of the 71 queries() entries
     are oracle-checked; the 10 rows-only ops (the dedup-pair family,
     approximate ANN, kmeans, fingerprints, crawl_trace) are
     deliberately omitted — not SQL-expressible (LSH / iterative /
@@ -592,6 +595,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(FLOOR((0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 "
             "* 18446744073709551616.0 / CAST(ss AS DOUBLE) * 1000000.0 + 0.5) "
             "AS BIGINT) / 1000000.0 AS est_distinct FROM s"
+        ),
+        "join_left": (
+            "SELECT o.o_orderkey, o.o_custkey, c.c_name FROM orders o "
+            "LEFT JOIN (SELECT c_custkey, c_name FROM customer "
+            "WHERE c_acctbal > 5000.0) c ON o.o_custkey = c.c_custkey"
+        ),
+        "intersect_distinct": (
+            "SELECT DISTINCT c_nationkey AS nationkey FROM customer "
+            "INTERSECT SELECT DISTINCT s_nationkey FROM supplier "
+            "ORDER BY 1"
+        ),
+        "except_distinct": (
+            "SELECT DISTINCT c_custkey FROM customer "
+            "EXCEPT SELECT DISTINCT o_custkey FROM orders ORDER BY 1"
         ),
         # round-trips prove the non-parquet source/sink paths: the
         # aggregate after write_json/read_json (write_csv/read_csv)

@@ -1298,3 +1298,61 @@ def csv_roundtrip(sf_dir: str):
         .aggregate(Count(alias_name="n"), Sum("event_id", alias_name="sum_ids"))
         .sort("event_type")
     )
+
+
+# ------------------------------------------------------ left outer join
+def join_left(sf_dir: str, min_acctbal: float = 5000.0):
+    """orders LEFT OUTER JOIN the high-balance customer subset — the
+    null-padding join variant (B4 is inner). Ray's native hash
+    left_outer join; rows without a match carry null c_name, proving
+    null propagation through the shuffle join path."""
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    rich = cust.map_batches(
+        lambda t: t.filter(
+            pc.greater(t["c_acctbal"], min_acctbal)
+        ).drop_columns(["c_acctbal"]),
+        batch_format="pyarrow",
+    )
+    return orders.join(
+        rich, "left_outer", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "o_custkey", "c_name"])
+
+
+# ---------------------------------------------------------- set ops
+def intersect_distinct(sf_dir: str):
+    """INTERSECT: nation keys present among BOTH customers and
+    suppliers — distinct of the semi join (B6 machinery), the set
+    operator surface a relational user expects."""
+    cust = _t(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow"
+    )
+    from engine.joins import semi_anti_bucketed
+
+    supp = _t(sf_dir, "supplier", ["s_nationkey"])
+    both = semi_anti_bucketed(cust, supp, on="nationkey",
+                              right_on="s_nationkey", keep_present=True)
+    return (
+        both.groupby("nationkey")
+        .aggregate(Count(alias_name="__c"))
+        .select_columns(["nationkey"])
+        .sort("nationkey")
+    )
+
+
+def except_distinct(sf_dir: str):
+    """EXCEPT: customer keys that never appear in orders — distinct of
+    the anti join."""
+    cust = _t(sf_dir, "customer", ["c_custkey"])
+    orders = _t(sf_dir, "orders", ["o_custkey"])
+    from engine.joins import semi_anti_bucketed
+
+    never = semi_anti_bucketed(cust, orders, on="c_custkey",
+                               right_on="o_custkey", keep_present=False)
+    return (
+        never.groupby("c_custkey")
+        .aggregate(Count(alias_name="__c"))
+        .select_columns(["c_custkey"])
+        .sort("c_custkey")
+    )
