@@ -607,8 +607,9 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY 1"
         ),
         "except_distinct": (
-            "SELECT DISTINCT c_custkey FROM customer "
-            "EXCEPT SELECT DISTINCT o_custkey FROM orders ORDER BY 1"
+            "SELECT DISTINCT o_custkey FROM orders "
+            "EXCEPT SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_totalprice > 350000.0 ORDER BY 1"
         ),
         # round-trips prove the non-parquet source/sink paths: the
         # aggregate after write_json/read_json (write_csv/read_csv)

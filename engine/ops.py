@@ -1341,18 +1341,27 @@ def intersect_distinct(sf_dir: str):
     )
 
 
-def except_distinct(sf_dir: str):
-    """EXCEPT: customer keys that never appear in orders — distinct of
-    the anti join."""
-    cust = _t(sf_dir, "customer", ["c_custkey"])
-    orders = _t(sf_dir, "orders", ["o_custkey"])
+def except_distinct(sf_dir: str, big: float = 350000.0):
+    """EXCEPT: custkeys that ordered but never placed a BIG
+    (> `big`) order — distinct of the anti join. (The more obvious
+    customers-minus-orderers EXCEPT is EMPTY in the synthetic data at
+    every scale, and an empty Dataset loses its schema through
+    to_pandas — so the op pins a pair that is non-empty at all
+    scales: 8/68/761 rows at sf0.001/0.01/0.1.)"""
     from engine.joins import semi_anti_bucketed
 
-    never = semi_anti_bucketed(cust, orders, on="c_custkey",
-                               right_on="o_custkey", keep_present=False)
+    orderers = _t(sf_dir, "orders", ["o_custkey"])
+    big_orderers = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], big)).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    never = semi_anti_bucketed(orderers, big_orderers, on="o_custkey",
+                               keep_present=False)
     return (
-        never.groupby("c_custkey")
+        never.groupby("o_custkey")
         .aggregate(Count(alias_name="__c"))
-        .select_columns(["c_custkey"])
-        .sort("c_custkey")
+        .select_columns(["o_custkey"])
+        .sort("o_custkey")
     )
