@@ -45,13 +45,37 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Ordering matters: the driver records only the FIRST 50 entries
+    into CORRECTNESS_r{N}.json. 61 of the 71 entries are oracle-backed;
+    the first 50 positions therefore carry the 50 highest-value
+    oracle-backed ops (round-4 fixes and the round-3-unrecorded ops up
+    front). The 11 oracle-backed entries pushed past the cap
+    (filter_project … token_count below) are the simplest of the layer
+    and were driver-verified green in CORRECTNESS_r01–r03; the 10
+    rows-only entries (no SQL oracle by nature) come last."""
     from engine import ops, textops
 
     q: dict[str, Callable[[str], Any]] = {
-        # --- generic relational layer (SURVEY.md §2B) ---
-        "filter_project": ops.filter_project,
-        "agg_global": ops.agg_global,
+        # --- round-4 fixes: prove them first ---
+        "asof_join": ops.asof_join,
+        "jsonl_roundtrip": ops.jsonl_roundtrip,
+        "csv_roundtrip": ops.csv_roundtrip,
+        # --- oracle-backed ops that sat past the 50-cap in round 3 ---
+        "ngram_topk": textops.ngram_topk,
+        "decontaminate": textops.decontaminate,
+        "remove_boilerplate": textops.remove_boilerplate,
+        "gopher_quality_filter": textops.gopher_quality_filter,
+        "paragraph_dedup": textops.paragraph_dedup,
+        "pack_sequences": textops.pack_sequences,
+        "heavy_hitters": textops.heavy_hitters,
+        "repetition_filter": textops.repetition_filter,
+        "tfidf_topk": textops.tfidf_topk,
+        "pii_scrub": textops.pii_scrub,
+        "ann_topk_full": textops.ann_topk_full,
+        "multimodal_decode": textops.multimodal_decode,
+        # --- generic relational layer (SURVEY.md §2B), riskiest first ---
         "groupby_agg": ops.groupby_agg,
+        "agg_global": ops.agg_global,
         "join_hash": ops.join_hash,
         "join_broadcast": ops.join_broadcast,
         "join_semi": ops.join_semi,
@@ -59,17 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_left": ops.join_left,
         "intersect_distinct": ops.intersect_distinct,
         "except_distinct": ops.except_distinct,
-        "topk": ops.topk,
         "topk_groups": ops.topk_groups,
-        "sort": ops.sort_orders,
-        "distinct": ops.distinct,
         "dedup_exact": ops.dedup_exact,
-        "union_all": ops.union_all,
-        "sample": ops.sample,
         "stratified_sample": ops.stratified_sample,
-        "json_extract": ops.json_extract,
-        "date_math": ops.date_math,
-        "string_fns": ops.string_fns,
         "url_canonicalize": ops.url_canonicalize,
         "asof_latest": ops.asof_latest,
         "sessionize": ops.sessionize,
@@ -82,44 +98,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_agg": ops.rollup_agg,
         "cube_agg": ops.cube_agg,
         "global_rank": ops.global_rank,
-        "asof_join": ops.asof_join,
-        "histogram": ops.histogram,
         "corr_stats": ops.corr_stats,
         "unpivot_events": ops.unpivot_events,
         "groupby_salted": ops.groupby_salted,
         "approx_distinct_hll": ops.approx_distinct_hll,
-        "jsonl_roundtrip": ops.jsonl_roundtrip,
-        "csv_roundtrip": ops.csv_roundtrip,
         "vector_topk": ops.vector_topk,
         # --- link-graph analytics (engine/graph.py) ---
         "pagerank_hosts": ops.pagerank_hosts,
         "graph_degree": ops.graph_degree,
         "graph_components": ops.graph_components,
         # --- training-data pipeline ops (textops) ---
-        "token_count": textops.token_count,
         "bpe_token_count": textops.bpe_token_count,
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
+        # ---------- driver cap: entries below are NOT recorded ----------
+        # oracle-backed but trivially stable (green r01-r03):
+        "filter_project": ops.filter_project,
+        "topk": ops.topk,
+        "sort": ops.sort_orders,
+        "distinct": ops.distinct,
+        "union_all": ops.union_all,
+        "sample": ops.sample,
+        "json_extract": ops.json_extract,
+        "date_math": ops.date_math,
+        "string_fns": ops.string_fns,
+        "histogram": ops.histogram,
+        "token_count": textops.token_count,
+        # rows-only (LSH / iterative / actor state — no SQL oracle;
+        # locked by brute-force-oracle + golden tests instead):
         "doc_fingerprint": textops.doc_fingerprint,
-        "ngram_topk": textops.ngram_topk,
-        "decontaminate": textops.decontaminate,
-        "remove_boilerplate": textops.remove_boilerplate,
-        "gopher_quality_filter": textops.gopher_quality_filter,
-        "paragraph_dedup": textops.paragraph_dedup,
-        "pack_sequences": textops.pack_sequences,
-        "heavy_hitters": textops.heavy_hitters,
-        "repetition_filter": textops.repetition_filter,
-        "tfidf_topk": textops.tfidf_topk,
-        "pii_scrub": textops.pii_scrub,
         "dedup_minhash": textops.dedup_minhash,
         "dedup_simhash": textops.dedup_simhash,
         "dedup_ngram_jaccard": textops.dedup_ngram_jaccard,
         "dedup_embedding": textops.dedup_embedding,
         "ann_topk_ivf": textops.ann_ivf_topk,
         "ann_topk_indexed": textops.ann_topk_indexed,
-        "ann_topk_full": textops.ann_topk_full,
         "kmeans_embeddings": textops.kmeans_assign,
-        "multimodal_decode": textops.multimodal_decode,
         "clean_corpus": textops.clean_corpus,
         # --- crawl as a query (rows-only: trace of a tiny crawl) ---
         "crawl_trace": _crawl_trace,
@@ -153,10 +167,14 @@ _VERTS_CTE = (
 )
 
 
-def _pagerank_sql(n_iter: int) -> str:
+def _pagerank_sql(n_iter: int, damping_permille: int = 850) -> str:
     """Unrolled integer fixed-point PageRank iterations (mirrors
     engine.graph.pagerank exactly: r0 = 1e9 // n; per iteration
-    r'(v) = (150*(1e9//n))//1000 + Σ (r(u)*850)//(1000*deg(u)))."""
+    r'(v) = ((1000-d)*(1e9//n))//1000 + Σ (r(u)*d)//(1000*deg(u))).
+    damping_permille is threaded through (default matches
+    engine.graph.pagerank's default) so a non-default damping in the
+    Ray op can be mirrored here instead of silently diverging."""
+    tele = 1000 - damping_permille
     parts = [
         "WITH " + _EDGES_CTE,
         "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1)",
@@ -167,10 +185,11 @@ def _pagerank_sql(n_iter: int) -> str:
     for k in range(1, n_iter + 1):
         parts.append(
             f"i{k} AS (SELECT v.node, "
-            "(150 * (1000000000 // n.c)) // 1000 + COALESCE(s.t, 0) AS r "
+            f"({tele} * (1000000000 // n.c)) // 1000 + COALESCE(s.t, 0) AS r "
             "FROM v CROSS JOIN n LEFT JOIN ("
             "SELECT e.dst AS node, "
-            f"CAST(SUM((i{k-1}.r * 850) // (1000 * deg.d)) AS BIGINT) AS t "
+            f"CAST(SUM((i{k-1}.r * {damping_permille}) // (1000 * deg.d)) "
+            "AS BIGINT) AS t "
             f"FROM e JOIN i{k-1} ON e.src = i{k-1}.node "
             "JOIN deg ON e.src = deg.src GROUP BY 1) s "
             "ON v.node = s.node)"
@@ -378,8 +397,8 @@ def oracle_sql() -> dict[str, str]:
             "len(text) - len(replace(text, ' ', '')) + 1 AS n_tokens "
             "FROM documents), "
             "o AS (SELECT doc_id, n_tokens, "
-            "SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) "
-            "- n_tokens AS token_offset FROM tc) "
+            "CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED "
+            "PRECEDING) - n_tokens AS BIGINT) AS token_offset FROM tc) "
             "SELECT doc_id, n_tokens, token_offset, "
             "token_offset // 256 AS block_start, "
             "(token_offset + n_tokens - 1) // 256 AS block_end FROM o"
@@ -613,13 +632,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         # round-trips prove the non-parquet source/sink paths: the
         # aggregate after write_json/read_json (write_csv/read_csv)
-        # must equal the parquet-side aggregate
+        # must equal the parquet-side aggregate. SUM(BIGINT) is HUGEINT
+        # in DuckDB and lands float64 in the comparison frame — CAST
+        # back to BIGINT to match Ray's int64 Sum exactly.
         "jsonl_roundtrip": (
-            "SELECT lang, COUNT(*) AS n, SUM(doc_id) AS sum_ids "
+            "SELECT lang, COUNT(*) AS n, "
+            "CAST(SUM(doc_id) AS BIGINT) AS sum_ids "
             "FROM documents GROUP BY 1 ORDER BY 1"
         ),
         "csv_roundtrip": (
-            "SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_ids "
+            "SELECT event_type, COUNT(*) AS n, "
+            "CAST(SUM(event_id) AS BIGINT) AS sum_ids "
             "FROM events GROUP BY 1 ORDER BY 1"
         ),
         # the sketch stages only PRUNE; the emitted set is the exact

@@ -107,6 +107,20 @@ def _arrow_out(df, names) -> pa.Table:
     )
 
 
+def _typed_arrow_out(df, names, ltypes: dict, rtypes: dict) -> pa.Table:
+    """pandas → Arrow with the DECLARED column types. The null-padded
+    union turns integer columns float64 inside the pandas group (BOTH
+    sides: a left int column is null on every right-tagged row and
+    vice versa); building with an explicit schema restores every
+    column's declared Arrow type — int32 stays int32, matching
+    _typed_empty — and `from_pandas` maps any surviving NaN to null
+    instead of raising like a pandas astype("int64") would."""
+    schema = pa.schema([(n, ltypes.get(n, rtypes.get(n))) for n in names])
+    return pa.Table.from_pandas(
+        df[names], schema=schema, preserve_index=False
+    ).replace_schema_metadata(None)
+
+
 def semi_anti_bucketed(left_ds, right_ds, on: str, right_on: str | None = None,
                        keep_present: bool = True, num_buckets: int | None = None):
     """left semi (keep_present=True) / anti (False) join: keep left rows
@@ -232,12 +246,11 @@ def asof_join_bucketed(left_ds, right_ds, on_left: str, on_right: str,
         )
         m = m[m[ts_right].notna()]  # inner
         m = m[lnames + out_rnames]
-        # the outer merge turned nullable int right columns into
-        # float64; restore the declared types now that nulls are gone
-        for rn_ in out_rnames:
-            if pa.types.is_integer(rtypes[rn_]):
-                m[rn_] = m[rn_].astype("int64")
-        return _arrow_out(m, lnames + out_rnames)
+        # the null-padded union turned int columns (on BOTH sides — a
+        # left int column is null on every right-tagged row) float64;
+        # rebuild with the declared schema so e.g. o_custkey comes out
+        # int64 again, not double
+        return _typed_arrow_out(m, lnames + out_rnames, ltypes, rtypes)
 
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
@@ -304,12 +317,9 @@ def equi_join_bucketed(left_ds, right_ds, on: str, right_on: str | None = None,
             return _typed_empty(lnames + out_rnames, ltypes, rtypes)
         m = l.merge(r, on=on, how="inner")
         # null padding makes int columns float64 in the pandas group;
-        # restore declared int types (no nulls remain after inner)
-        for name in lnames + out_rnames:
-            ty = ltypes.get(name, rtypes.get(name))
-            if pa.types.is_integer(ty):
-                m[name] = m[name].astype("int64")
-        return _arrow_out(m, lnames + out_rnames)
+        # rebuild with the declared schema (preserves int32 etc. and
+        # tolerates genuine nulls, unlike a hard astype("int64"))
+        return _typed_arrow_out(m, lnames + out_rnames, ltypes, rtypes)
 
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")

@@ -28,8 +28,17 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from engine.util import cached_get, read_parquet_clean
+from engine.util import cached_get, cluster_cpus, read_parquet_clean
 from engine.kernels import canonicalize_url
+
+
+def _join_partitions() -> int:
+    """Partition count for Ray's native hash joins: scales with
+    cluster CPUs (floor 8 reproduces the 32-CPU sandbox constant) so
+    the shuffle join never serializes on 8 partitions at 100× the
+    cluster — every other fan-out in the repo already scales via
+    util.scaled_buckets; this is the same rule for Dataset.join."""
+    return max(8, cluster_cpus() // 2)
 
 
 def _t(sf_dir: str, name: str, columns=None):
@@ -157,7 +166,8 @@ def join_hash(sf_dir: str):
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
     return orders.join(
-        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust, "inner", num_partitions=_join_partitions(),
+        on=("o_custkey",), right_on=("c_custkey",),
     ).select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"])
 
 
@@ -675,11 +685,18 @@ def pivot_events(sf_dir: str):
         cols = {"hour": pc.floor_temporal(t["ts"], unit="hour")}
         for ty in types:
             cols[f"n_{ty}"] = pc.cast(pc.equal(t["event_type"], ty), pa.int64())
-        return (
+        g = (
             pa.table(cols)
             .group_by("hour")
             .aggregate([(f"n_{ty}", "sum") for ty in types])
-            .rename_columns(["hour"] + [f"n_{ty}" for ty in types])
+        )
+        # select by the aggregate's actual output names — the column
+        # ORDER of group_by().aggregate() is pyarrow-version-dependent
+        # (keys first vs last), so a positional rename would silently
+        # swap columns on a pyarrow upgrade
+        return pa.table(
+            {"hour": g["hour"],
+             **{f"n_{ty}": g[f"n_{ty}_sum"] for ty in types}}
         )
 
     return (
@@ -926,12 +943,14 @@ def histogram(sf_dir: str, bin_width: float = 25000.0):
 
     def pre(t: pa.Table) -> pa.Table:
         b = pc.cast(pc.floor(pc.divide(t["o_totalprice"], bin_width)), pa.int64())
-        return (
+        g = (
             pa.table({"bin": b, "one": pa.nulls(len(t), pa.int64()).fill_null(1)})
             .group_by("bin")
             .aggregate([("one", "sum")])
-            .rename_columns(["bin", "n"])
         )
+        # name-based select (not positional rename): group_by output
+        # column order is pyarrow-version-dependent
+        return pa.table({"bin": g["bin"], "n": g["one_sum"]})
 
     return (
         ds.map_batches(pre, batch_format="pyarrow")
@@ -1263,40 +1282,54 @@ def approx_distinct_hll(sf_dir: str, b: int = 10):
 
 
 # ------------------------------------------------- format round-trips
+def _roundtrip(ds, write, read, key: str, sum_col: str):
+    """Shared sink→source parity harness: write `ds` as partitioned
+    text files (one file per block — the resumable-output rule, never
+    one giant file), read it back, aggregate, MATERIALIZE the
+    group-key-sized result (≤ distinct(key) rows), and remove the
+    scratch dir. The scratch path is a node-local tempdir: fine
+    single-node, but on a multi-node cluster write tasks would land
+    files on each worker's local filesystem — a real deployment must
+    point this at shared storage (the run's out_dir / object store);
+    materializing before cleanup keeps the contract lazy-free so the
+    tempdir never leaks across bench/test invocations."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix=f"{key}_rt_")
+    try:
+        write(ds, out)
+        return (
+            read(out)
+            .groupby(key)
+            .aggregate(Count(alias_name="n"), Sum(sum_col, alias_name="sum_ids"))
+            .sort(key)
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def jsonl_roundtrip(sf_dir: str):
     """JSONL sink + source parity: documents (doc_id, lang) written as
     partitioned JSON-lines by Ray tasks, read back with read_json, and
     aggregated. Proves the non-parquet format path end-to-end (the
-    aggregate matches the parquet-side oracle bit-exactly). Output
-    stays partitioned (one file per block) — the resumable-output
-    rule, never one giant file."""
-    import tempfile
-
+    aggregate matches the parquet-side oracle bit-exactly)."""
     import ray.data as rd
 
-    out = tempfile.mkdtemp(prefix="jsonl_rt_")
-    _t(sf_dir, "documents", ["doc_id", "lang"]).write_json(out)
-    return (
-        rd.read_json(out)
-        .groupby("lang")
-        .aggregate(Count(alias_name="n"), Sum("doc_id", alias_name="sum_ids"))
-        .sort("lang")
+    return _roundtrip(
+        _t(sf_dir, "documents", ["doc_id", "lang"]),
+        lambda d, o: d.write_json(o), rd.read_json, "lang", "doc_id",
     )
 
 
 def csv_roundtrip(sf_dir: str):
     """CSV sink + source parity (same contract as jsonl_roundtrip)."""
-    import tempfile
-
     import ray.data as rd
 
-    out = tempfile.mkdtemp(prefix="csv_rt_")
-    _t(sf_dir, "events", ["event_id", "event_type"]).write_csv(out)
-    return (
-        rd.read_csv(out)
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("event_id", alias_name="sum_ids"))
-        .sort("event_type")
+    return _roundtrip(
+        _t(sf_dir, "events", ["event_id", "event_type"]),
+        lambda d, o: d.write_csv(o), rd.read_csv, "event_type", "event_id",
     )
 
 
@@ -1315,7 +1348,7 @@ def join_left(sf_dir: str, min_acctbal: float = 5000.0):
         batch_format="pyarrow",
     )
     return orders.join(
-        rich, "left_outer", num_partitions=8,
+        rich, "left_outer", num_partitions=_join_partitions(),
         on=("o_custkey",), right_on=("c_custkey",),
     ).select_columns(["o_orderkey", "o_custkey", "c_name"])
 

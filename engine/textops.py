@@ -1586,26 +1586,34 @@ def paragraph_dedup(sf_dir: str, seg_words: int = 5):
     "Deduplicating Training Data" exact-substring shape at paragraph
     granularity): the corpus is segmented into consecutive
     `seg_words`-word chunks; every occurrence of a segment other than
-    its global FIRST occurrence (minimum (doc_id, pos), packed into
-    one int64) is dropped; each document is re-emitted with its
-    surviving segments in original order.
+    its global FIRST occurrence (minimum (doc_id, pos) lexicographic)
+    is dropped; each document is re-emitted with its surviving
+    segments in original order.
 
     Scale shape — unlike remove_boilerplate (whose frequent-set is
     tiny and broadcastable), the keep-first winner set is
     corpus-sized, so nothing is broadcast or driver-materialized:
-    (1) segment emission is a stateless flat map; (2) first
-    occurrences are a groupby-min over the packed position (built-in
-    partial+final combiner, shuffle payload = one row per distinct
-    segment instance); (3) winners rejoin occurrences via the
-    co-partitioned engine.joins.equi_join_bucketed on the segment
-    text — both sides hash-bucketed, one all-to-all, no driver; (4)
-    documents are reassembled with a coarse-bucketed map_groups
-    (util.scaled_buckets — never one group per doc). Docs whose every
-    segment loses vanish from the output, exactly like the SQL."""
-    from engine.joins import _mix64, equi_join_bucketed
-    from engine.util import scaled_buckets
+    (1) segment emission is a stateless flat map; (2) keep-first is
+    ONE all-to-all: occurrences are coarse-bucketed on a hash of the
+    segment text (identical segments always land in the same bucket,
+    so the bucket holds every occurrence of each of its segments and
+    a vectorized per-bucket sort + first-per-seg is GLOBALLY exact —
+    collision-exact too, since the winner test compares the actual
+    segment strings, the hash only routes); (3) documents are
+    reassembled with a coarse-bucketed map_groups (util.scaled_buckets
+    — never one group per doc). Two all-to-alls total (down from the
+    round-3 groupby-min + bucketed-rejoin + reassembly = three), and
+    the segment text crosses the wire exactly twice — once into the
+    keep-first bucket, once into its doc's reassembly bucket.
+    First-ness is decided by sorting (doc_id, pos) directly — no
+    doc_id*100_000+pos packing, so no silent int64 overflow for
+    100k-segment docs or huge doc_ids (the oracle SQL's packed MIN is
+    equivalent whenever pos < 100_000, which holds for the test
+    corpus)."""
+    from engine.joins import _bucket_of, _mix64
 
     docs = _docs(sf_dir, ["doc_id", "text"])
+    nb = _scaled_buckets(256)
 
     def segs(t: pa.Table) -> pa.Table:
         ids, poss, ss = [], [], []
@@ -1615,31 +1623,34 @@ def paragraph_dedup(sf_dir: str, seg_words: int = 5):
                 ids.append(i)
                 poss.append(p)
                 ss.append(" ".join(w[p * seg_words : (p + 1) * seg_words]))
-        packed = [i * 100_000 + p for i, p in zip(ids, poss)]
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "pos": pa.array(poss, pa.int64()),
-                "packed": pa.array(packed, pa.int64()),
                 "seg": pa.array(ss, pa.string()),
             }
         )
+        return out.append_column("sbucket", _bucket_of(out["seg"], nb))
 
-    occurrences = docs.map_batches(segs, batch_format="pyarrow")
-    firsts = (
-        occurrences.select_columns(["seg", "packed"])
-        .groupby("seg")
-        .aggregate(Min("packed", alias_name="first_packed"))
-    )
-    joined = equi_join_bucketed(occurrences, firsts, on="seg")
-    kept = joined.map_batches(
-        lambda t: t.filter(pc.equal(t["packed"], t["first_packed"])).select(
-            ["doc_id", "pos", "seg"]
-        ),
-        batch_format="pyarrow",
-    )
+    def keep_first(g: pd.DataFrame) -> pa.Table:
+        # all occurrences of every segment hashing into this bucket:
+        # global first occurrence = first row per seg after a stable
+        # (doc_id, pos) sort — exact, packing-free
+        g = g.sort_values(["doc_id", "pos"], kind="mergesort")
+        g = g.loc[~g.duplicated("seg"), ["doc_id", "pos", "seg"]]
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "pos": pa.array(g["pos"].to_numpy(), pa.int64()),
+                "seg": pa.array(g["seg"], pa.string()),
+            }
+        )
 
-    nb = _scaled_buckets(256)
+    kept = (
+        docs.map_batches(segs, batch_format="pyarrow")
+        .groupby("sbucket")
+        .map_groups(keep_first, batch_format="pandas")
+    )
 
     def tag(t: pa.Table) -> pa.Table:
         x = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)

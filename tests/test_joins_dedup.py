@@ -133,6 +133,24 @@ def test_scaled_buckets_rule(ray_session):
     assert sorted(small.to_pandas()["v"].tolist()) == list(range(0, 40, 4))
 
 
+def test_join_partitions_scale_with_cpus():
+    """Native Dataset.join partition count must scale with the cluster
+    (a frozen 8 serializes the shuffle join on a big cluster) while
+    reproducing the sandbox floor at 32 CPUs."""
+    from unittest import mock
+
+    from engine import ops
+
+    with mock.patch.object(ops, "cluster_cpus", return_value=32):
+        assert ops._join_partitions() == 16
+    with mock.patch.object(ops, "cluster_cpus", return_value=8):
+        assert ops._join_partitions() == 8
+    with mock.patch.object(ops, "cluster_cpus", return_value=64):
+        assert ops._join_partitions() > 8
+    with mock.patch.object(ops, "cluster_cpus", return_value=1024):
+        assert ops._join_partitions() == 512
+
+
 def test_asof_join_bucketed_backward(ray_session):
     """Backward as-of (latest right row at/before each left ts, ties
     by max tiebreak) against a driver-side reference; includes
@@ -174,6 +192,54 @@ def test_asof_join_bucketed_backward(ray_session):
     assert sorted(got["lid"].tolist()) == sorted(want)
     for row in got.itertuples():
         assert (row.rid, row.rts, row.payload) == want[row.lid]
+
+
+def test_bucketed_join_output_dtypes(ray_session):
+    """Regression for CORRECTNESS_r03 asof_join: the null-padded union
+    turns int columns float64 inside the per-bucket pandas frame on
+    BOTH sides (a left int column is null on every right-tagged row);
+    the output must restore every column's DECLARED Arrow type — int64
+    left columns back to int64 (the r3 bug emitted them as double) and
+    an int32 column back to int32, not a hard-coded int64."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.joins import asof_join_bucketed, equi_join_bucketed
+
+    lt = pa.table({
+        "lid": pa.array([1, 2, 3], pa.int64()),
+        "key": pa.array([10, 10, 11], pa.int64()),
+        "lts": pa.array([5, 9, 7], pa.int64()),
+        "lsmall": pa.array([100, 200, 300], pa.int32()),
+    })
+    rt = pa.table({
+        "rkey": pa.array([10, 10, 11], pa.int64()),
+        "rts": pa.array([4, 8, 6], pa.int64()),
+        "rid": pa.array([7, 8, 9], pa.int64()),
+        "rsmall": pa.array([1, 2, 3], pa.int32()),
+    })
+    asof = asof_join_bucketed(
+        rd.from_arrow(lt), rd.from_arrow(rt),
+        on_left="key", on_right="rkey", ts_left="lts", ts_right="rts",
+        tiebreak="rid", num_buckets=2,
+    )
+    sch = asof.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert types["lid"] == pa.int64(), types
+    assert types["lsmall"] == pa.int32(), types
+    assert types["rid"] == pa.int64(), types
+    assert types["rsmall"] == pa.int32(), types
+
+    eq = equi_join_bucketed(
+        rd.from_arrow(lt.drop_columns(["lts"])),
+        rd.from_arrow(rt.drop_columns(["rts"])),
+        on="key", right_on="rkey", num_buckets=2,
+    )
+    sch2 = eq.schema()
+    types2 = dict(zip(sch2.names, sch2.types))
+    assert types2["lid"] == pa.int64(), types2
+    assert types2["lsmall"] == pa.int32(), types2
+    assert types2["rsmall"] == pa.int32(), types2
 
 
 def test_prepare_seed_frontier_matches_inline(ray_session, tmp_path):

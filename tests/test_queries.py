@@ -57,6 +57,19 @@ def _compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str) -> None:
         f"{name}: cols {sorted(ray_df.columns)} != {sorted(sql_df.columns)}"
     )
     a, b = _normalize(ray_df), _normalize(sql_df)
+    # numeric-KIND parity: the driver hashes values dtype-sensitively,
+    # so an int64 Ray column vs a float64 oracle column (DuckDB
+    # SUM(BIGINT)→HUGEINT→float64, or a null-padded join emerging
+    # double) hash-mismatches even when every value is equal — the
+    # exact failure mode of round 3's asof_join / *_roundtrip. Catch
+    # it locally instead of at the driver.
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if {ka, kb} <= {"i", "u", "f"}:
+            assert (ka in "iu") == (kb in "iu"), (
+                f"{name}.{c}: dtype kind {a[c].dtype} != {b[c].dtype} "
+                "(int/float drift would fail the driver's value hash)"
+            )
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
