@@ -38,6 +38,7 @@ def _register_by_value() -> None:
     except Exception:  # ray absent: pure-python use (oracle, kernels) still works
         return
     import engine.crawl
+    import engine.css
     import engine.frontier
     import engine.joins
     import engine.kernels

@@ -193,13 +193,26 @@ def _extra_links_table(t: pa.Table, policy) -> "pa.Table | None":
     urls become link-candidate rows (kind="extra", link_index offset by
     EXTRA_LINK_IDX_BASE so html links win intra-round dedup ties).
     They then flow through the normal rewrite→canonicalize→filter→seen
-    chain. t: hit rows with url/text/depth columns."""
-    if policy.collect_links is None:
+    chain. Two hook forms share one link_index sequence (text-hook urls
+    first, then raw-body-hook urls — the simulator enumerates the same
+    concatenation): collect_links sees the extracted text,
+    collect_links_html the raw body (JSON-cursor pagination,
+    CSS-selector collection). t: hit rows with url/text/html/depth."""
+    want_text = policy.collect_links is not None
+    want_html = policy.collect_links_html is not None
+    if not (want_text or want_html):
         return None
     urls, parents, pdepths, lidx = [], [], [], []
-    for u, txt, d in zip(t["url"].to_pylist(), t["text"].to_pylist(),
-                         t["depth"].to_pylist()):
-        for i, extra in enumerate(policy.collect_links(u, txt)):
+    texts = t["text"].to_pylist() if want_text else None
+    htmls = t["html"].to_pylist() if want_html else None
+    for j, (u, d) in enumerate(zip(t["url"].to_pylist(),
+                                   t["depth"].to_pylist())):
+        extras = []
+        if want_text:
+            extras.extend(policy.collect_links(u, texts[j]))
+        if want_html:
+            extras.extend(policy.collect_links_html(u, htmls[j]))
+        for i, extra in enumerate(extras):
             urls.append(extra)
             parents.append(u)
             pdepths.append(d)
@@ -554,6 +567,10 @@ class CrawlResult:
     total_errors: int = 0
     out_dir: str = ""
     metrics: list = field(default_factory=list)
+    # session state produced by CrawlPolicy.initialize (login cookies);
+    # hand to FetcherActor(initial_cookies=result.init_cookies.cookies)
+    # in a production (real-transport) pipeline
+    init_cookies: object = None
 
     def trace(self) -> list[dict]:
         """Rows in canonical trace order: (round, discovery_seq, url).
@@ -730,6 +747,44 @@ def prepare_seed_frontier(seeds_ds, crawl: CrawlConfig, pool: SeenPool,
     return parquet_num_rows(fdir)
 
 
+def _init_fetch_fn(pages_ds):
+    """InitContext.fetch over the hermetic web: canonical-url lookup
+    into the pages table via ONE pruned, vectorized scan per call.
+    Init-time-only (a login flow touches a handful of urls); the
+    crawl rounds never use this path."""
+    import ray.data as rd
+
+    if isinstance(pages_ds, pa.Table):
+        tbl = pages_ds
+
+        def fetch_tbl(url: str) -> tuple:
+            cu = canonicalize_url(url)
+            hit = tbl.filter(pc.equal(tbl["url"], cu))
+            if hit.num_rows == 0:
+                return (404, b"")
+            h = hit["html"][0].as_py()
+            return (200, h if isinstance(h, bytes) else bytes(h))
+
+        return fetch_tbl
+
+    def fetch_ds(url: str) -> tuple:
+        cu = canonicalize_url(url)
+        rows = (
+            pages_ds.map_batches(
+                lambda t, u=cu: t.filter(pc.equal(t["url"], u)).select(
+                    ["url", "html"]
+                ),
+                batch_format="pyarrow",
+            ).take(1)
+        )
+        if not rows:
+            return (404, b"")
+        h = rows[0]["html"]
+        return (200, h if isinstance(h, bytes) else bytes(h))
+
+    return fetch_ds
+
+
 def _config_hash(crawl: CrawlConfig) -> str:
     # STATE-affecting config only: max_rounds is deliberately excluded
     # (it is a loop bound — resuming a 2-round checkpoint with
@@ -783,6 +838,25 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
         robots_pool = RobotsShardPool(max(2, crawl.num_shards))
         _load_robots_into_pool(pages_ds, robots_pool)
     policy = crawl.policy
+    init_jar = None
+    if policy.initialize is not None:
+        # PerformInitialization (SURVEY.md §3.1): once, driver-side,
+        # BEFORE seed_hosts / the resume config-hash check — the
+        # returned urls join crawl.seeds, so a deterministic hook
+        # yields the same effective config (and hash) on fresh run and
+        # resume. ctx.fetch is a hermetic pages lookup (one pruned
+        # dataset scan per call — init touches a handful of urls like
+        # a login page, a one-time setup cost; production policies
+        # close over a real transport instead).
+        from dataclasses import replace as _dc_replace
+
+        from engine.policy import InitContext
+
+        ctx = InitContext(fetch=_init_fetch_fn(pages_ds))
+        extra = tuple(policy.initialize(ctx) or ())
+        init_jar = ctx.cookies
+        if extra and not seeded_on_disk and initial_frontier is None:
+            crawl = _dc_replace(crawl, seeds=tuple(crawl.seeds) + extra)
     # seed_hosts is only consulted by same_host_only policies — for a
     # 10^6+ seed list, canonicalizing every seed on the driver is a
     # multi-second serial cost, so skip it unless the policy needs it
@@ -805,7 +879,7 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
             seed_hosts = frozenset(host_of(canonicalize_url(s)) for s in crawl.seeds)
     else:
         seed_hosts = frozenset()
-    res = CrawlResult(out_dir=str(out))
+    res = CrawlResult(out_dir=str(out), init_cookies=init_jar)
 
     if pool is None:
         pool = SeenPool(crawl.num_shards, mode=crawl.seen_mode)

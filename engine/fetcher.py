@@ -70,10 +70,17 @@ class FetcherActor:
 
     def __init__(self, transport=None, retry: RetryPolicy | None = None,
                  user_agent: str = "ray-crawl-engine/1.0", fetch_round: int = 0,
-                 clock=None, max_redirects: int = 5):
+                 clock=None, max_redirects: int = 5,
+                 initial_cookies: dict | None = None):
         self.transport = transport or _default_transport
         self.retry = retry or RetryPolicy()
-        self.jar = CookieJar()
+        # initial_cookies: host -> {name: value}, typically the session
+        # state a CrawlPolicy.initialize login flow produced
+        # (CrawlResult.init_cookies.cookies) — copied so sibling actors
+        # never share a mutable jar
+        self.jar = CookieJar(
+            {h: dict(kv) for h, kv in (initial_cookies or {}).items()}
+        )
         self.user_agent = user_agent
         self.fetch_round = fetch_round
         self.clock = clock or (lambda: datetime.now(timezone.utc).replace(tzinfo=None))

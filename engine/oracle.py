@@ -78,12 +78,26 @@ def simulate(pages: dict[str, bytes], crawl: CrawlConfig,
     redirects = redirects or {}
     robots = RobotsTable(dict(crawl.robots_raw))
     pol = crawl.policy
-    seed_hosts = frozenset(host_of(canonicalize_url(s)) for s in crawl.seeds)
+    seeds = list(crawl.seeds)
+    if pol.initialize is not None:
+        # PerformInitialization mirror (engine.crawl.run_crawl): once,
+        # before the seed frontier; returned urls join the seeds
+        from engine.policy import InitContext
+
+        def _fetch(url: str) -> tuple:
+            cu = canonicalize_url(url)
+            if cu in pages:
+                return (200, pages[cu])
+            return (404, b"")
+
+        ctx = InitContext(fetch=_fetch)
+        seeds.extend(pol.initialize(ctx) or ())
+    seed_hosts = frozenset(host_of(canonicalize_url(s)) for s in seeds)
     res = SimResult()
 
     seen: set[bytes] = set()
     frontier: list[dict] = []
-    for s in crawl.seeds:
+    for s in seeds:
         row = _frontier_row(s, 0, "", 0, pol)
         if row["url_key"] not in seen:
             seen.add(row["url_key"])
@@ -174,11 +188,18 @@ def simulate(pages: dict[str, bytes], crawl: CrawlConfig,
                 continue
             for absu, kind, idx in extract_links(html, r["url"]):
                 consider(absu, kind, idx, r)
-            if pol.collect_links is not None:
+            if pol.collect_links is not None or pol.collect_links_html is not None:
                 # A30 CollectAdditionalLinks — same chain, kind="extra",
-                # idx offset keeps html links winning dedup ties
-                txt = extract_text(html)
-                for i, extra in enumerate(pol.collect_links(r["url"], txt)):
+                # idx offset keeps html links winning dedup ties; both
+                # hook forms share ONE index sequence (text-hook urls
+                # first) exactly like engine.crawl._extra_links_table
+                extras = []
+                if pol.collect_links is not None:
+                    txt = extract_text(html)
+                    extras.extend(pol.collect_links(r["url"], txt))
+                if pol.collect_links_html is not None:
+                    extras.extend(pol.collect_links_html(r["url"], html))
+                for i, extra in enumerate(extras):
                     consider(extra, "extra", EXTRA_LINK_IDX_BASE + i, r)
         fresh = []
         for k, row in new_rows.items():

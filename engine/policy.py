@@ -26,13 +26,44 @@ Hook contract (all optional):
                                     page content; they enter the same
                                     rewrite→canonicalize→filter chain
                                     with kind="extra".
+  collect_links_html(url:str, html:bytes|str) -> list[str]
+                                    A30 variant over the RAW page body
+                                    — for JSON-cursor pagination (parse
+                                    the body, yield the next-cursor
+                                    url) and CSS-selector link
+                                    collection (engine.css
+                                    .selector_collect_links). Same
+                                    chain, same kind="extra"; when both
+                                    hooks are set, text-hook urls come
+                                    first in the shared link_index
+                                    sequence (both engine and simulator
+                                    enumerate the concatenation).
+  initialize(ctx) -> Iterable[str] | None
+                                    the reference's PerformInitialization
+                                    (SURVEY.md §3.1: login, seed
+                                    expansion before round 0). Runs
+                                    ONCE on the driver before the seed
+                                    frontier is built; ctx is an
+                                    engine.policy.InitContext with
+                                    `fetch(url) -> (status, body)`
+                                    (hermetic pages lookup in-sandbox;
+                                    a real transport in production) and
+                                    a mutable `cookies` CookieJar whose
+                                    final state pre-seeds FetcherActor
+                                    sessions (CrawlResult.init_cookies
+                                    → FetcherActor(initial_cookies=…)).
+                                    The returned urls join crawl.seeds.
+                                    MUST be deterministic: it re-runs
+                                    on resume and the effective seed
+                                    list participates in the resume
+                                    config hash.
 Built-ins: scheme allow-list, extension skip-list (A12), optional
 same-host(seed hosts) scoping, max depth (A28).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable, Optional
 
 from engine.kernels import host_of
@@ -47,6 +78,25 @@ SKIP_EXTENSIONS = frozenset(
 )
 
 
+@dataclass
+class InitContext:
+    """Handed to CrawlPolicy.initialize once, driver-side, before
+    round 0. `fetch` resolves a url to (status, body-bytes) — a
+    hermetic pages-table lookup in this sandbox, the real HTTP
+    transport in production; `cookies` is the session state the hook
+    may populate (login), consumed by FetcherActor(initial_cookies=…)
+    and surfaced as CrawlResult.init_cookies."""
+
+    fetch: Callable[[str], tuple]
+    cookies: "object" = None
+
+    def __post_init__(self):
+        if self.cookies is None:
+            from engine.fetcher import CookieJar
+
+            self.cookies = CookieJar()
+
+
 @dataclass(frozen=True)
 class CrawlPolicy:
     follow_prereqs: bool = False
@@ -57,6 +107,8 @@ class CrawlPolicy:
     should_scrape: Optional[Callable[[str, bool], Optional[bool]]] = None
     priority: Optional[Callable[[str, int], int]] = None
     collect_links: Optional[Callable[[str, str], list]] = None
+    collect_links_html: Optional[Callable[[str, object], list]] = None
+    initialize: Optional[Callable[["InitContext"], object]] = None
 
     def priority_of(self, url: str, depth: int) -> int:
         return int(self.priority(url, depth)) if self.priority is not None else 0

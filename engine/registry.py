@@ -9,7 +9,7 @@ kernels); `get(name)` is the lookup used by custom pipelines.
 
 from __future__ import annotations
 
-from engine import kernels
+from engine import css, kernels
 
 SCALAR_FNS = {
     "canonicalize_url": kernels.canonicalize_url,
@@ -20,6 +20,10 @@ SCALAR_FNS = {
     "extract_text": kernels.extract_text,
     "extract_links": kernels.extract_links,
     "extract_page": kernels.extract_page,
+    # CSS-selector extraction (Fizzler analog, engine/css.py)
+    "css_select": css.select,
+    "css_select_attr": css.select_attr,
+    "css_select_text": css.select_text,
 }
 
 BATCH_KERNELS = {
@@ -29,6 +33,11 @@ BATCH_KERNELS = {
     "extract_links": kernels.extract_links_batch,
     "extract_page": kernels.extract_page_batch,
 }
+
+# factory (selector compiled once, at pipeline construction): use
+# register_batch_kernel(name, make_css_kernel(sel, attr=...)) for
+# site-specific extractors addressable by name
+make_css_kernel = css.make_css_batch_kernel
 
 
 def get_scalar(name: str):

@@ -46,6 +46,34 @@ def test_fetcher_with_fake_transport_and_cookies():
                                 "status", "fetch_round", "depth", "discovery_seq"]
 
 
+def test_fetcher_initial_cookies_preseed_session():
+    """CrawlPolicy.initialize login state (CrawlResult.init_cookies)
+    pre-seeds every fetcher session: a login-gated transport returns
+    403 without the session cookie, 200 with — an actor constructed
+    with initial_cookies fetches gated pages on its FIRST request,
+    and sibling actors never share the (mutable) jar."""
+
+    def gated_transport(url, headers):
+        if headers.get("Cookie") == "session=SECRET123":
+            return 200, {}, b"<p>members</p>"
+        return 403, {}, b""
+
+    cookies = {"gated.example": {"session": "SECRET123"}}
+    f = FetcherActor(transport=gated_transport, initial_cookies=cookies,
+                     clock=lambda: datetime(2024, 1, 1))
+    out = f(_batch(["https://gated.example/dash"]))
+    assert out["status"].to_pylist() == [200]
+    assert out["html"].to_pylist() == [b"<p>members</p>"]
+    # without the pre-seeded jar the same fetch is rejected
+    bare = FetcherActor(transport=gated_transport,
+                        clock=lambda: datetime(2024, 1, 1))
+    assert bare(_batch(["https://gated.example/dash"]))["status"].to_pylist() == [403]
+    # jar is copied, not shared: mutating one actor's jar leaves the
+    # source dict and sibling actors untouched
+    f.jar.set_from_header("gated.example", "session=OTHER")
+    assert cookies["gated.example"]["session"] == "SECRET123"
+
+
 def test_fetcher_retries_on_retryable_status():
     attempts = []
 

@@ -277,6 +277,178 @@ def test_robots_discovered_from_crawl(ray_session, tmp_path, cutoff):
     assert "site-b.example" in hosts_seen
 
 
+# ---------------------------------------------------------------------------
+# CSS-selector-driven link collection (A31 Fizzler analog, engine/css.py)
+# ---------------------------------------------------------------------------
+
+def _selector_site():
+    """Pager urls live in data-next attributes (href-less anchors the
+    html link extractor can NOT see) — only the CSS-selector hook can
+    discover them, proving the selector path does real work."""
+    rows = []
+    for li in range(3):
+        threads = "".join(
+            f'<a class="thread-title" href="/t/{li * 2 + t}">t</a>'
+            for t in range(2)
+        )
+        pager = (
+            f'<a class="pager" data-next="/list/{li + 1}">next</a>'
+            if li + 1 < 3 else ""
+        )
+        html = (
+            f'<html><body><div class="forum">{threads}{pager}'
+            f"</div></body></html>"
+        ).encode()
+        rows.append((f"{HOST}/list/{li}", html))
+    for t in range(6):
+        rows.append((f"{HOST}/t/{t}", _html(f"t{t}", f"topic {t}", [])))
+    return _pages_tbl(rows), dict(rows)
+
+
+def test_selector_link_collection_matches_oracle(ray_session, tmp_path):
+    from engine.css import selector_collect_links
+
+    tbl, pages = _selector_site()
+    policy = CrawlPolicy(
+        collect_links_html=selector_collect_links("a.pager", attr="data-next")
+    )
+    crawl = CrawlConfig(seeds=(f"{HOST}/list/0",), budget_per_host=4,
+                        max_rounds=10, policy=policy)
+    sim = simulate(pages, crawl)
+    res, _ = _run(tmp_path, tbl, crawl)
+    assert _trace_key(res.trace()) == _trace_key(sim.trace)
+    urls = {r["url"] for r in res.trace()}
+    # pagination reachable ONLY via the selector hook was crawled
+    assert urls == set(pages)
+
+
+# ---------------------------------------------------------------------------
+# PerformInitialization (SURVEY.md §3.1): login before round 0
+# ---------------------------------------------------------------------------
+
+GATE = "https://gated.example"
+
+
+def _gated_site():
+    """The dashboard url embeds a token that only /login reveals; no
+    page links to /login or the dashboard — without the initialize
+    hook the crawl has no reachable seed at all."""
+    login = b'<html><body>token=SECRET123; use /dash?token=</body></html>'
+    dash = _html("dash", "members", ["/t/0", "/t/1"])
+    rows = [
+        (f"{GATE}/login", login),
+        (f"{GATE}/dash?token=SECRET123", dash),
+        (f"{GATE}/t/0", _html("t0", "m0", [])),
+        (f"{GATE}/t/1", _html("t1", "m1", [])),
+    ]
+    return _pages_tbl(rows), dict(rows)
+
+
+def _login_policy() -> CrawlPolicy:
+    def initialize(ctx):
+        status, body = ctx.fetch(f"{GATE}/login")
+        assert status == 200
+        m = re.search(rb"token=(\w+)", body)
+        tok = m.group(1).decode()
+        ctx.cookies.set_from_header("gated.example", f"session={tok}")
+        return [f"{GATE}/dash?token={tok}"]
+
+    return CrawlPolicy(initialize=initialize)
+
+
+def test_initialize_hook_matches_oracle(ray_session, tmp_path):
+    tbl, pages = _gated_site()
+    crawl = CrawlConfig(seeds=(), budget_per_host=4, max_rounds=6,
+                        policy=_login_policy())
+    sim = simulate(pages, crawl)
+    res, _ = _run(tmp_path, tbl, crawl)
+    assert _trace_key(res.trace()) == _trace_key(sim.trace)
+    urls = {r["url"] for r in res.trace()}
+    # gated content reachable ONLY through the hook's seed expansion
+    assert f"{GATE}/dash?token=SECRET123" in urls
+    assert f"{GATE}/t/0" in urls and f"{GATE}/t/1" in urls
+    assert f"{GATE}/login" not in urls  # fetched out-of-band, not crawled
+    # login session state surfaced for FetcherActor pre-seeding
+    assert res.init_cookies.cookies == {
+        "gated.example": {"session": "SECRET123"}
+    }
+    # without the hook there is nothing to crawl
+    bare = simulate(pages, CrawlConfig(seeds=(), max_rounds=6))
+    assert bare.trace == []
+
+
+def test_initialize_hook_resume_consistent(ray_session, tmp_path):
+    """initialize re-runs on resume and the EXTENDED seed list feeds
+    the config hash — a partial crawl + resume must equal one full
+    run (and not raise a config-mismatch)."""
+    tbl, pages = _gated_site()
+    out = str(tmp_path / "crawl")
+    full_c = CrawlConfig(seeds=(), budget_per_host=1, max_rounds=6,
+                         policy=_login_policy())
+    res_full, _ = _run(tmp_path / "full", tbl, full_c)
+    part_c = CrawlConfig(seeds=(), budget_per_host=1, max_rounds=2,
+                         policy=_login_policy())
+    run_crawl(tbl, part_c, out, pool=SeenPool(part_c.num_shards))
+    res2 = run_crawl(tbl, full_c, out, pool=SeenPool(full_c.num_shards),
+                     resume=True)
+    assert _trace_key(res2.trace()) == _trace_key(res_full.trace())
+
+
+# ---------------------------------------------------------------------------
+# JSON-cursor pagination (the FacebookScraper shape, SURVEY.md §3.1):
+# a JSON feed whose next url comes from the body's cursor field
+# ---------------------------------------------------------------------------
+
+FEED = "https://feed.example"
+
+
+def _json_feed_site():
+    import json as _json
+
+    rows = []
+    n_pages = 3
+    for c in range(n_pages):
+        body = {
+            "items": [f"/item/{c * 2}", f"/item/{c * 2 + 1}"],
+            "next_cursor": c + 1 if c + 1 < n_pages else None,
+        }
+        rows.append(
+            (f"{FEED}/api/feed?cursor={c}", _json.dumps(body).encode())
+        )
+    for i in range(n_pages * 2):
+        rows.append((f"{FEED}/item/{i}", _html(f"i{i}", f"item {i}", [])))
+    return _pages_tbl(rows), dict(rows)
+
+
+def test_json_cursor_pagination_matches_oracle(ray_session, tmp_path):
+    import json as _json
+
+    def collect_json(url: str, html) -> list[str]:
+        # the collect hooks' contract is ABSOLUTE raw urls — resolve
+        # the feed's relative item paths against the page url
+        from urllib.parse import urljoin
+
+        if "/api/feed" not in url:
+            return []
+        d = _json.loads(bytes(html).decode("utf-8"))
+        links = [urljoin(url, it) for it in d["items"]]
+        if d.get("next_cursor") is not None:
+            links.append(f"{FEED}/api/feed?cursor={d['next_cursor']}")
+        return links
+
+    tbl, pages = _json_feed_site()
+    crawl = CrawlConfig(
+        seeds=(f"{FEED}/api/feed?cursor=0",), budget_per_host=3,
+        max_rounds=12, policy=CrawlPolicy(collect_links_html=collect_json),
+    )
+    sim = simulate(pages, crawl)
+    res, _ = _run(tmp_path, tbl, crawl)
+    assert _trace_key(res.trace()) == _trace_key(sim.trace)
+    urls = {r["url"] for r in res.trace()}
+    # every cursor page and every item reached through the JSON bodies
+    assert urls == set(pages)
+
+
 def test_robots_discovery_survives_resume(ray_session, tmp_path):
     """Discovered robots are checkpointed state: a resume after the
     discovery round must keep blocking without re-discovery."""
