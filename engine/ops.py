@@ -32,13 +32,21 @@ from engine.util import cached_get, cluster_cpus, read_parquet_clean
 from engine.kernels import canonicalize_url
 
 
-def _join_partitions() -> int:
-    """Partition count for Ray's native hash joins: scales with
-    cluster CPUs (floor 8 reproduces the 32-CPU sandbox constant) so
-    the shuffle join never serializes on 8 partitions at 100× the
-    cluster — every other fan-out in the repo already scales via
-    util.scaled_buckets; this is the same rule for Dataset.join."""
-    return max(8, cluster_cpus() // 2)
+def _join_partitions(n_rows_est: int | None = None,
+                     target_rows: int = 100_000) -> int:
+    """Partition count for Ray's native hash joins. Two regimes,
+    measured at sf0.1 idle (8→3.0 s, 16→4.1 s, 32→6.5 s — fixed
+    per-partition Acero setup dominates small joins): with a row
+    estimate (parquet metadata, free), partitions grow with DATA
+    (one per target_rows) up to a 2×-CPUs cap so a 10^10-row join on
+    a big cluster fans out while a 150k-row sandbox join stays at the
+    fast floor of 8; without an estimate, fall back to the pure
+    CPU rule (cpus//2, floor 8) — never the frozen 8 that would
+    serialize the shuffle at 100× the cluster."""
+    cpus = cluster_cpus()
+    if n_rows_est:
+        return max(8, min(cpus * 2, n_rows_est // target_rows))
+    return max(8, cpus // 2)
 
 
 def _t(sf_dir: str, name: str, columns=None):
@@ -163,10 +171,13 @@ def groupby_agg(sf_dir: str):
 # --------------------------------------------------------------- B4
 def join_hash(sf_dir: str):
     """orders ⋈ customer on custkey (hash-partitioned shuffle join)."""
+    from engine.util import parquet_num_rows
+
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    np_ = _join_partitions(parquet_num_rows(f"{sf_dir}/orders.parquet"))
     return orders.join(
-        cust, "inner", num_partitions=_join_partitions(),
+        cust, "inner", num_partitions=np_,
         on=("o_custkey",), right_on=("c_custkey",),
     ).select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"])
 
@@ -1347,8 +1358,11 @@ def join_left(sf_dir: str, min_acctbal: float = 5000.0):
         ).drop_columns(["c_acctbal"]),
         batch_format="pyarrow",
     )
+    from engine.util import parquet_num_rows
+
+    np_ = _join_partitions(parquet_num_rows(f"{sf_dir}/orders.parquet"))
     return orders.join(
-        rich, "left_outer", num_partitions=_join_partitions(),
+        rich, "left_outer", num_partitions=np_,
         on=("o_custkey",), right_on=("c_custkey",),
     ).select_columns(["o_orderkey", "o_custkey", "c_name"])
 

@@ -111,4 +111,6 @@ def parquet_num_rows(dir_path: str | pathlib.Path) -> int:
     p = pathlib.Path(dir_path)
     if not p.exists():
         return 0
+    if p.is_file():
+        return pq.ParquetFile(p).metadata.num_rows
     return sum(pq.ParquetFile(f).metadata.num_rows for f in p.glob("*.parquet"))

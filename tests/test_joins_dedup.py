@@ -133,22 +133,31 @@ def test_scaled_buckets_rule(ray_session):
     assert sorted(small.to_pandas()["v"].tolist()) == list(range(0, 40, 4))
 
 
-def test_join_partitions_scale_with_cpus():
+def test_join_partitions_scale_with_cpus_and_rows():
     """Native Dataset.join partition count must scale with the cluster
-    (a frozen 8 serializes the shuffle join on a big cluster) while
-    reproducing the sandbox floor at 32 CPUs."""
+    and the data (a frozen 8 serializes the shuffle join on a big
+    cluster; measured at sf0.1, per-partition setup dominates small
+    joins, so small inputs stay at the fast floor of 8)."""
     from unittest import mock
 
     from engine import ops
 
+    # no row estimate: pure CPU rule
     with mock.patch.object(ops, "cluster_cpus", return_value=32):
         assert ops._join_partitions() == 16
     with mock.patch.object(ops, "cluster_cpus", return_value=8):
         assert ops._join_partitions() == 8
-    with mock.patch.object(ops, "cluster_cpus", return_value=64):
-        assert ops._join_partitions() > 8
     with mock.patch.object(ops, "cluster_cpus", return_value=1024):
         assert ops._join_partitions() == 512
+    # with a row estimate: grows with data, capped at 2x CPUs,
+    # floored at 8 (sandbox sf0.1 = 150k rows -> the fast 8)
+    with mock.patch.object(ops, "cluster_cpus", return_value=32):
+        assert ops._join_partitions(150_000) == 8
+        assert ops._join_partitions(3_000_000) == 30
+        assert ops._join_partitions(10**10) == 64
+    with mock.patch.object(ops, "cluster_cpus", return_value=1024):
+        assert ops._join_partitions(10**10) == 2048
+        assert ops._join_partitions(150_000) == 8
 
 
 def test_asof_join_bucketed_backward(ray_session):
