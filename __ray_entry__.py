@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": textops.pii_scrub,
         "ann_topk_full": textops.ann_topk_full,
         "multimodal_decode": textops.multimodal_decode,
+        "multimodal_frame_sample": textops.multimodal_frame_sample,
         # --- generic relational layer (SURVEY.md §2B), riskiest first ---
         "groupby_agg": ops.groupby_agg,
         "agg_global": ops.agg_global,
@@ -110,9 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data pipeline ops (textops) ---
         "bpe_token_count": textops.bpe_token_count,
         "quality_score": textops.quality_score,
-        "lang_id": textops.lang_id,
         # ---------- driver cap: entries below are NOT recorded ----------
         # oracle-backed but trivially stable (green r01-r03):
+        "lang_id": textops.lang_id,
         "filter_project": ops.filter_project,
         "topk": ops.topk,
         "sort": ops.sort_orders,
@@ -316,6 +317,20 @@ def oracle_sql() -> dict[str, str]:
             "AS INTEGER) AS height, "
             "CAST(concat('0x', substr(md5(text), 5, 8)) AS BIGINT) AS checksum, "
             "CAST(64 AS INTEGER) AS resized_to FROM documents"
+        ),
+        # frame-sampling KERNEL is a declared deterministic fake (no
+        # ffmpeg in env): n_frames = 1 + md5(payload)[0] % 8, frames
+        # sampled at stride 2, per-frame checksum = first 8 hex chars
+        # of md5(payload || '#' || idx) — payload is text's utf-8
+        # bytes, so DuckDB's md5 over strings mirrors it exactly
+        "multimodal_frame_sample": (
+            "WITH f AS (SELECT doc_id, text, "
+            "1 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) % 8 "
+            "AS n_frames FROM documents) "
+            "SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, "
+            "CAST(concat('0x', substr(md5(text || '#' || "
+            "CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) AS frame_checksum "
+            "FROM f, UNNEST(range(0, n_frames, 2)) AS t(i)"
         ),
         "bpe_token_count": (
             "SELECT doc_id, len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) "

@@ -1261,23 +1261,79 @@ class FakeImageDecoder:
         )
 
 
+def _mint_payload(t: pa.Table) -> pa.Table:
+    """Binary `payload` column minted from documents.text — stand-in
+    for image/video bytes (the container ships no media libs; the
+    Ray-side plumbing is the real design)."""
+    payload = pa.array([s.encode() for s in t["text"].to_pylist()], pa.binary())
+    return pa.table({"doc_id": t["doc_id"], "payload": payload})
+
+
 def multimodal_decode(sf_dir: str, concurrency=None):
     """Opaque-binary pipeline: mint a binary `payload` column (the
     bytes of documents.text — stand-in for image bytes), then run the
     decode/feature actor pool with small batches (large-payload
-    sizing). Rows-only."""
-
-    def to_binary(t: pa.Table) -> pa.Table:
-        payload = pa.array([s.encode() for s in t["text"].to_pylist()], pa.binary())
-        return pa.table({"doc_id": t["doc_id"], "payload": payload})
-
+    sizing)."""
     return (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(to_binary, batch_format="pyarrow")
+        .map_batches(_mint_payload, batch_format="pyarrow")
         .map_batches(
             FakeImageDecoder,
             batch_format="pyarrow",
             batch_size=256,  # large binary payloads -> small batches
+            concurrency=_conc(concurrency),
+        )
+    )
+
+
+class FakeVideoFrameSampler:
+    """Actor-pool frame-sampling stage (video → sampled frames) with
+    REAL Ray plumbing and a STUBBED decode kernel: no ffmpeg/PyAV in
+    the container, so frame count and per-frame bytes are a
+    deterministic fake derived from the payload (md5). The SHAPE is
+    the real design: a flat-map-style actor stage that emits one row
+    PER SAMPLED FRAME (output rows > input rows — frame tables fan
+    out), strided sampling (every `stride`-th frame), per-actor setup
+    in __init__, small batches for wide binaries. Swap `_decode` for
+    an ffmpeg demuxer in production."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride  # "codec init" stand-in, once per actor
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, cks = [], [], []
+        for did, blob in zip(t["doc_id"].to_pylist(),
+                             t["payload"].to_pylist()):
+            # STUB (deterministic fake): real impl reads the container
+            # header for the frame count and decodes sampled frames
+            n_frames = 1 + hashlib.md5(blob).digest()[0] % 8
+            for i in range(0, n_frames, self.stride):
+                ids.append(did)
+                fidx.append(i)
+                cks.append(int(hashlib.md5(
+                    blob + b"#" + str(i).encode()
+                ).hexdigest()[:8], 16))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "frame_checksum": pa.array(cks, pa.int64()),
+            }
+        )
+
+
+def multimodal_frame_sample(sf_dir: str, concurrency=None):
+    """Video-shaped pipeline: mint binary payloads, then the
+    frame-sampling actor pool (one output row per sampled frame).
+    Oracle-checkable end-to-end because the fake kernel is
+    deterministic in the payload bytes."""
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_mint_payload, batch_format="pyarrow")
+        .map_batches(
+            FakeVideoFrameSampler,
+            batch_format="pyarrow",
+            batch_size=256,  # wide binary payloads -> small batches
             concurrency=_conc(concurrency),
         )
     )
