@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_full": textops.ann_topk_full,
         "multimodal_decode": textops.multimodal_decode,
         "multimodal_frame_sample": textops.multimodal_frame_sample,
+        "css_extract": textops.css_extract,
         # --- generic relational layer (SURVEY.md §2B), riskiest first ---
         "groupby_agg": ops.groupby_agg,
         "agg_global": ops.agg_global,
@@ -109,10 +110,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree": ops.graph_degree,
         "graph_components": ops.graph_components,
         # --- training-data pipeline ops (textops) ---
-        "bpe_token_count": textops.bpe_token_count,
         "quality_score": textops.quality_score,
         # ---------- driver cap: entries below are NOT recorded ----------
         # oracle-backed but trivially stable (green r01-r03):
+        "bpe_token_count": textops.bpe_token_count,
         "lang_id": textops.lang_id,
         "filter_project": ops.filter_project,
         "topk": ops.topk,
@@ -331,6 +332,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(concat('0x', substr(md5(text || '#' || "
             "CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) AS frame_checksum "
             "FROM f, UNNEST(range(0, n_frames, 2)) AS t(i)"
+        ),
+        # the css engine must select the post body (and ONLY it) back
+        # out of a synthetic envelope with distractor markup; the
+        # corpus text is single-spaced markup-free, so the selected
+        # text round-trips verbatim
+        "css_extract": (
+            "SELECT doc_id, text AS post_text FROM documents"
         ),
         "bpe_token_count": (
             "SELECT doc_id, len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) "

@@ -1322,6 +1322,41 @@ class FakeVideoFrameSampler:
         )
 
 
+def css_extract(sf_dir: str):
+    """CSS-selector extraction as an oracle-checked query (the A31
+    Fizzler-analog surface, engine/css.py): each document's text is
+    wrapped in a synthetic html envelope alongside distractor markup
+    (a nav div with its own <p>, a title, a script) and
+    'div.post > p' must select exactly the post body back out — the
+    selective-extraction property, end to end. The selector compiles
+    ONCE at pipeline construction and rides the closure; matching is
+    one SAX pass per page (same event model as the crawl extractors).
+    Oracle: the synthetic corpus text is single-spaced with no markup
+    characters, so the selected text round-trips verbatim and the SQL
+    side is the text column itself."""
+    from engine.css import CssMatcher, compile_selector
+
+    sel = compile_selector("div.post > p")
+
+    def extract(t: pa.Table) -> pa.Table:
+        outs = []
+        for s in t["text"].to_pylist():
+            html = (
+                '<html><body><div class="nav"><p>skip me</p></div>'
+                f'<div class="post"><h1>title</h1><p>{s}</p>'
+                "<script>var x = 1;</script></div></body></html>"
+            )
+            hits = CssMatcher(sel).feed_html(html)
+            outs.append(hits[0][2] if hits else "")
+        return pa.table(
+            {"doc_id": t["doc_id"], "post_text": pa.array(outs, pa.string())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        extract, batch_format="pyarrow"
+    )
+
+
 def multimodal_frame_sample(sf_dir: str, concurrency=None):
     """Video-shaped pipeline: mint binary payloads, then the
     frame-sampling actor pool (one output row per sampled frame).
