@@ -87,9 +87,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_distinct": ops.except_distinct,
         "topk_groups": ops.topk_groups,
         "dedup_exact": ops.dedup_exact,
-        "stratified_sample": ops.stratified_sample,
         "url_canonicalize": ops.url_canonicalize,
         "asof_latest": ops.asof_latest,
+        "join_range": ops.join_range,
         "sessionize": ops.sessionize,
         "window_rank": ops.window_rank,
         "window_lag": ops.window_lag,
@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textops.quality_score,
         # ---------- driver cap: entries below are NOT recorded ----------
         # oracle-backed but trivially stable (green r01-r03):
+        "stratified_sample": ops.stratified_sample,
         "bpe_token_count": textops.bpe_token_count,
         "lang_id": textops.lang_id,
         "filter_project": ops.filter_project,
@@ -520,6 +521,16 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
             "FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') "
             "WHERE rn = 1"
+        ),
+        # temporal band join: strict lower bound, inclusive upper;
+        # LEFT JOIN so follower-less events appear with n_next = 0
+        "join_range": (
+            "SELECT a.user_id, a.event_id, a.ts, "
+            "CAST(COUNT(b.event_id) AS BIGINT) AS n_next "
+            "FROM events a LEFT JOIN events b "
+            "ON a.user_id = b.user_id AND b.ts > a.ts "
+            "AND b.ts <= a.ts + INTERVAL 10 MINUTE "
+            "GROUP BY 1, 2, 3"
         ),
         # explicit window formulation instead of DuckDB's native ASOF
         # JOIN so the tie-break (min shipdate, then min linenumber) is

@@ -616,6 +616,80 @@ def asof_join(sf_dir: str):
     )
 
 
+# --------------------------------------------------------- join_range
+def join_range(sf_dir: str, window_min: int = 10,
+               _force_user_fallback: bool = False):
+    """Temporal RANGE (band) join — the key + interval non-equi join
+    class (as-of's sibling): for each event, the number of same-user
+    events with ts in (ts, ts + window_min minutes]. Output is one
+    row per LEFT event (bounded), never the exploded pair set.
+
+    Distributed shape: no pairwise join materializes. Rows are
+    coarse-bucketed on mix64(user_id) (all rows of a key share a
+    bucket — util.scaled_buckets fan-out), and inside each bucket ONE
+    dual vectorized searchsorted over a (user-ordinal, relative-ts)
+    composite int64 key counts every row's band matches at once —
+    O(n log n) per bucket, no per-user Python loop (a guarded
+    per-user fallback covers the composite-key overflow regime:
+    users-per-bucket × time-span exceeding int64, unreachable at
+    sandbox scale and pushed out linearly by the CPU-scaled bucket
+    count). One all-to-all; strict lower bound (b.ts > a.ts) matches
+    the SQL exactly under duplicate timestamps."""
+    from engine.joins import _mix64
+    from engine.util import scaled_buckets
+
+    nb = scaled_buckets(512)
+    win_us = np.int64(window_min * 60 * 1_000_000)
+
+    def tag(t: pa.Table) -> pa.Table:
+        x = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = _mix64(x.astype(np.int64).view(np.uint64)) % np.uint64(nb)
+        return t.append_column("bucket", pa.array(b.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        uid = g["user_id"].to_numpy()
+        n_rows = len(g)
+        new_u = np.ones(n_rows, bool)
+        if n_rows > 1:
+            new_u[1:] = uid[1:] != uid[:-1]
+        ordn = (np.cumsum(new_u) - 1).astype(np.int64)
+        rel = ts - (ts.min() if n_rows else 0)
+        big = np.int64((rel.max() if n_rows else 0) + win_us + 2)
+        if (n_rows and not _force_user_fallback
+                and ordn[-1] + 1 <= np.iinfo(np.int64).max // max(big, 1)):
+            comp = ordn * big + rel
+            lo = np.searchsorted(comp, comp, side="right")
+            hi = np.searchsorted(comp, comp + win_us, side="right")
+            n_next = hi - lo
+        else:  # composite overflow: per-user segments, still searchsorted
+            n_next = np.zeros(n_rows, np.int64)
+            starts = np.flatnonzero(new_u).tolist() + [n_rows]
+            for s, e in zip(starts[:-1], starts[1:]):
+                seg = rel[s:e]
+                n_next[s:e] = (
+                    np.searchsorted(seg, seg + win_us, side="right")
+                    - np.searchsorted(seg, seg, side="right")
+                )
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_id": pa.array(g["event_id"].to_numpy(), pa.int64()),
+                "ts": pa.array(ts.view("datetime64[us]")),
+                "n_next": pa.array(n_next.astype(np.int64)),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(["user_id", "event_id", "ts", "n_next"])
+    )
+
+
 # ------------------------------------------- window lag / moving avg
 def _events_windowed(sf_dir: str, win: int):
     """Shared machinery for the offset/frame window ops (window_lag,

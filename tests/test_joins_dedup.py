@@ -251,6 +251,51 @@ def test_bucketed_join_output_dtypes(ray_session):
     assert types2["rsmall"] == pa.int32(), types2
 
 
+def test_join_range_paths_agree(ray_session, tmp_path):
+    """join_range's vectorized composite-key count must equal both a
+    brute-force reference AND its own per-user overflow-fallback path,
+    including under duplicate timestamps (strict lower bound)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine import ops
+
+    rng = np.random.default_rng(11)
+    n = 400
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        # coarse second grid -> plenty of exact-duplicate timestamps
+        "ts": base + rng.integers(0, 3000, n).astype("timedelta64[s]").astype("timedelta64[us]"),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False),
+                   d / "events.parquet")
+
+    got = ops.join_range(str(d), window_min=10).to_pandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    win = np.timedelta64(10 * 60 * 1_000_000, "us")
+    want = []
+    for r in rows.itertuples():
+        m = rows[(rows["user_id"] == r.user_id)
+                 & (rows["ts"] > r.ts) & (rows["ts"] <= r.ts + win)]
+        want.append((r.event_id, len(m)))
+    want = dict(want)
+    assert len(got) == n
+    for r in got.itertuples():
+        assert r.n_next == want[r.event_id], r.event_id
+    # force the overflow fallback (the composite-key guard's other
+    # branch) and require identical output
+    got2 = ops.join_range(str(d), window_min=10,
+                          _force_user_fallback=True).to_pandas()
+    got2 = got2.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got2)
+
+
 def test_prepare_seed_frontier_matches_inline(ray_session, tmp_path):
     """The no-driver-materialization seed path (prepare_seed_frontier
     + seeded_on_disk) produces a byte-identical crawl to the inline
