@@ -141,6 +141,127 @@ def test_batch_kernel(ray_session):
     assert [list(x) for x in out2["rows"]] == [["First one", "Third"], []]
 
 
+# ---------------------------------------------------------------------------
+# Differential fuzz: SAX stack-matcher vs an independent brute-force
+# tree matcher over generated well-formed trees and random selectors
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TAGS = ["div", "p", "span", "li", "a"]
+_CLASSES = ["x", "y", "z"]
+_IDS = ["i1", "i2"]
+
+
+@st.composite
+def _node(draw, depth):
+    tag = draw(st.sampled_from(_TAGS))
+    classes = draw(st.sets(st.sampled_from(_CLASSES), max_size=2))
+    nid = draw(st.one_of(st.none(), st.sampled_from(_IDS)))
+    rel = draw(st.one_of(st.none(), st.sampled_from(["next", "prev"])))
+    kids = []
+    if depth < 3:
+        kids = draw(st.lists(_node(depth=depth + 1), max_size=3))
+    return {"tag": tag, "classes": frozenset(classes), "id": nid,
+            "rel": rel, "kids": kids}
+
+
+def _render(n) -> str:
+    attrs = ""
+    if n["classes"]:
+        attrs += f' class="{" ".join(sorted(n["classes"]))}"'
+    if n["id"]:
+        attrs += f' id="{n["id"]}"'
+    if n["rel"]:
+        attrs += f' rel="{n["rel"]}"'
+    inner = "".join(_render(k) for k in n["kids"])
+    return f'<{n["tag"]}{attrs}>t{inner}</{n["tag"]}>'
+
+
+def _brute_matches(n, steps, combos, path=()):
+    """Independent reference: recursive tree walk; per node, dynamic
+    check of the compound chain against the full ancestor path."""
+    out = []
+    path = path + (n,)
+
+    def node_ok(c, m):
+        if c.tag is not None and m["tag"] != c.tag:
+            return False
+        if c.id is not None and m["id"] != c.id:
+            return False
+        if c.classes and not (c.classes <= m["classes"]):
+            return False
+        for name, val in c.attrs:
+            got = {"class": " ".join(sorted(m["classes"])) or None,
+                   "id": m["id"], "rel": m["rel"]}.get(name)
+            if got is None:
+                return False
+            if val is not None and got != val:
+                return False
+        return True
+
+    def chain_ok(si, pi):
+        if not node_ok(steps[si], path[pi]):
+            return False
+        if si == 0:
+            return True
+        if combos[si - 1] == ">":
+            return pi > 0 and chain_ok(si - 1, pi - 1)
+        return any(chain_ok(si - 1, q) for q in range(pi - 1, -1, -1))
+
+    if chain_ok(len(steps) - 1, len(path) - 1):
+        out.append(n)
+    for k in n["kids"]:
+        out.extend(_brute_matches(k, steps, combos, path))
+    return out
+
+
+@st.composite
+def _selector(draw):
+    def compound():
+        parts = []
+        t = draw(st.one_of(st.none(), st.sampled_from(_TAGS)))
+        if t:
+            parts.append(t)
+        if draw(st.booleans()):
+            parts.append("." + draw(st.sampled_from(_CLASSES)))
+        if draw(st.booleans()):
+            parts.append("#" + draw(st.sampled_from(_IDS)))
+        if draw(st.booleans()):
+            parts.append("[rel=" + draw(st.sampled_from(["next", "prev"])) + "]")
+        if not parts:
+            parts.append(draw(st.sampled_from(_TAGS)))
+        return "".join(parts)
+
+    n_steps = draw(st.integers(1, 3))
+    s = compound()
+    for _ in range(n_steps - 1):
+        s += draw(st.sampled_from([" ", " > "])) + compound()
+    return s
+
+
+@settings(max_examples=150, deadline=None)
+@given(tree=_node(depth=0), sel=_selector())
+def test_css_matches_brute_force_tree(tree, sel):
+    from engine.css import compile_selector, select
+
+    compiled = compile_selector(sel)
+    html = _render(tree)
+    got = sorted(
+        (m[0], m[1].get("id") or "", m[1].get("class", ""))
+        for m in select(html, compiled)
+    )
+    want = []
+    for steps, combos in compiled.alternatives:
+        want.extend(_brute_matches(tree, steps, combos))
+    want_keys = sorted(
+        (w["tag"], w["id"] or "", " ".join(sorted(w["classes"])))
+        for w in want
+    )
+    assert got == want_keys, (sel, html)
+
+
 def test_selector_collect_links_hook():
     # hits resolve against the page url (the collect hooks' contract
     # is absolute raw urls)
