@@ -139,3 +139,39 @@ class CrawlPolicy:
         if self.same_host_only and host_of(url) not in seed_hosts:
             return False
         return True
+
+
+def sitemap_initialize(*sitemap_urls: str, max_depth: int = 2):
+    """Build a CrawlPolicy.initialize hook that seeds the crawl from
+    sitemap.xml files: each sitemap is fetched through ctx.fetch (the
+    hermetic pages lookup here, the real transport in production) and
+    its <loc> urls become extra seeds; <loc> targets that are
+    themselves .xml files (sitemap INDEX entries) are followed
+    breadth-first up to `max_depth` fetches deep. Deterministic
+    (document order, BFS), as CrawlPolicy.initialize requires."""
+    import re
+
+    loc_re = re.compile(rb"<loc>\s*([^<]+?)\s*</loc>")
+
+    def hook(ctx) -> list:
+        seeds: list[str] = []
+        queue = [(u, 0) for u in sitemap_urls]
+        seen: set[str] = set()
+        while queue:
+            u, d = queue.pop(0)
+            if u in seen:
+                continue
+            seen.add(u)
+            status, body = ctx.fetch(u)
+            if status != 200:
+                continue
+            for m in loc_re.finditer(body):
+                loc = m.group(1).decode("utf-8", "replace").strip()
+                if loc.split("?")[0].lower().endswith(".xml"):
+                    if d + 1 <= max_depth:
+                        queue.append((loc, d + 1))
+                elif loc not in seeds:
+                    seeds.append(loc)
+        return seeds
+
+    return hook

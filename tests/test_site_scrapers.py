@@ -395,6 +395,65 @@ def test_initialize_hook_resume_consistent(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Sitemap seeding via the initialize hook (sitemap index -> sitemaps
+# -> page urls; the sitemaps themselves are never crawled)
+# ---------------------------------------------------------------------------
+
+SMAP = "https://mapped.example"
+
+
+def _sitemap_site():
+    index = (
+        "<?xml version='1.0'?><sitemapindex>"
+        f"<sitemap><loc>{SMAP}/maps/a.xml</loc></sitemap>"
+        f"<sitemap><loc> {SMAP}/maps/b.xml </loc></sitemap>"
+        "</sitemapindex>"
+    ).encode()
+    smap_a = (
+        "<?xml version='1.0'?><urlset>"
+        f"<url><loc>{SMAP}/p/0</loc></url>"
+        f"<url><loc>{SMAP}/p/1</loc></url></urlset>"
+    ).encode()
+    smap_b = (
+        f"<urlset><url><loc>{SMAP}/p/2</loc></url>"
+        f"<url><loc>{SMAP}/p/0</loc></url></urlset>"  # duplicate loc
+    ).encode()
+    rows = [
+        (f"{SMAP}/sitemap.xml", index),
+        (f"{SMAP}/maps/a.xml", smap_a),
+        (f"{SMAP}/maps/b.xml", smap_b),
+    ]
+    # p/0 links to an extra page so the e2e exercises the normal
+    # link-extraction path (link_allowed etc.) alongside the seeding
+    rows.append((f"{SMAP}/p/0", _html("p0", "page 0", ["/p/linked"])))
+    for i in range(1, 3):
+        rows.append((f"{SMAP}/p/{i}", _html(f"p{i}", f"page {i}", [])))
+    rows.append((f"{SMAP}/p/linked", _html("pl", "linked page", [])))
+    return _pages_tbl(rows), dict(rows)
+
+
+def test_sitemap_seeding_matches_oracle(ray_session, tmp_path):
+    from engine.policy import sitemap_initialize
+
+    tbl, pages = _sitemap_site()
+    crawl = CrawlConfig(
+        seeds=(), budget_per_host=8, max_rounds=4,
+        policy=CrawlPolicy(
+            initialize=sitemap_initialize(f"{SMAP}/sitemap.xml")
+        ),
+    )
+    sim = simulate(pages, crawl)
+    res, _ = _run(tmp_path, tbl, crawl)
+    assert _trace_key(res.trace()) == _trace_key(sim.trace)
+    urls = {r["url"] for r in res.trace()}
+    # sitemap-listed pages crawled, plus the page found by normal
+    # link extraction from p/0
+    assert urls == {f"{SMAP}/p/{i}" for i in range(3)} | {f"{SMAP}/p/linked"}
+    # the xml files themselves were fetched out-of-band, never crawled
+    assert not any(u.endswith(".xml") for u in urls)
+
+
+# ---------------------------------------------------------------------------
 # JSON-cursor pagination (the FacebookScraper shape, SURVEY.md §3.1):
 # a JSON feed whose next url comes from the body's cursor field
 # ---------------------------------------------------------------------------
