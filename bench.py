@@ -82,7 +82,13 @@ def _bench_once(num_cpus: int, sf_dir: str, crawl_only: bool,
 
     n_pages = int(os.environ.get("BENCH_PAGES", "800000"))
     n_hosts = max(8, n_pages // 1200)
-    cfg = SynthConfig(n_hosts=n_hosts, n_pages=n_pages, links_per_page=8)
+    # BENCH_BODY_WORDS sizes the synthetic pages (default 40 words ≈
+    # 1-2 KB html; 12000 ≈ 90 KB — the Common-Crawl-scale page regime
+    # for bandwidth/soak runs)
+    cfg = SynthConfig(
+        n_hosts=n_hosts, n_pages=n_pages, links_per_page=8,
+        body_words=int(os.environ.get("BENCH_BODY_WORDS", "40")),
+    )
     # generate + pin the synthetic web once (setup, untimed)
     pages = pages_dataset(cfg, parallelism=num_cpus * 2).materialize()
 
