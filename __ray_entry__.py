@@ -46,7 +46,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordering matters: the driver records only the FIRST 50 entries
-    into CORRECTNESS_r{N}.json. 64 of the 74 entries are oracle-backed;
+    into CORRECTNESS_r{N}.json. 65 of the 75 entries are oracle-backed;
     the first 50 positions therefore carry the 50 highest-value
     oracle-backed ops (round-4 fixes and the round-3-unrecorded ops up
     front). The 14 oracle-backed entries pushed past the cap
@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": ops.asof_join,
         "jsonl_roundtrip": ops.jsonl_roundtrip,
         "csv_roundtrip": ops.csv_roundtrip,
+        "text_roundtrip": ops.text_roundtrip,
         # --- oracle-backed ops that sat past the 50-cap in round 3 ---
         "ngram_topk": textops.ngram_topk,
         "decontaminate": textops.decontaminate,
@@ -112,9 +113,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree": ops.graph_degree,
         "graph_components": ops.graph_components,
         # --- training-data pipeline ops (textops) ---
-        "quality_score": textops.quality_score,
         # ---------- driver cap: entries below are NOT recorded ----------
         # oracle-backed but trivially stable (green r01-r03):
+        "quality_score": textops.quality_score,
         "stratified_sample": ops.stratified_sample,
         "bpe_token_count": textops.bpe_token_count,
         "lang_id": textops.lang_id,
@@ -240,7 +241,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents (views pre-registered per table). Float
     aggregates use exact fixed-point (scale to int64 "cents", sum,
     divide last — see engine.ops._cents) mirrored in the SQL so both
-    sides produce bit-identical doubles. 64 of the 74 queries() entries
+    sides produce bit-identical doubles. 65 of the 75 queries() entries
     are oracle-checked; the 10 rows-only ops (the dedup-pair family,
     approximate ANN, kmeans, fingerprints, crawl_trace) are
     deliberately omitted — not SQL-expressible (LSH / iterative /
@@ -680,6 +681,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(*) AS n, "
             "CAST(SUM(event_id) AS BIGINT) AS sum_ids "
             "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        # read_text lines round-trip 1:1 with documents (newline-free,
+        # non-empty corpus text); length() = codepoints on both sides
+        "text_roundtrip": (
+            "SELECT COUNT(*) AS n_lines, "
+            "CAST(SUM(length(text)) AS BIGINT) AS sum_chars FROM documents"
         ),
         # the sketch stages only PRUNE; the emitted set is the exact
         # >= pct% term set, so the oracle is the plain GROUP BY/HAVING

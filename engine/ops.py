@@ -1418,6 +1418,70 @@ def csv_roundtrip(sf_dir: str):
     )
 
 
+def text_roundtrip(sf_dir: str):
+    """Plain-text source/sink parity (ray.data.read_text, the
+    line-oriented format family): documents.text written as
+    partitioned .txt parts by Ray map tasks (one file per batch —
+    partitioned, resumable, never one giant file), read back with
+    read_text, and reduced to (n_lines, sum_chars). The corpus text is
+    newline-free and non-empty, so lines round-trip 1:1 with
+    documents; lengths are codepoint counts on both sides (python len
+    over the utf-8-decoded line == DuckDB length()). Same node-local
+    tempdir caveat as _roundtrip (shared storage in production); the
+    group-key-free aggregate is 1 row, materialized before cleanup."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    import ray.data as rd
+
+    out = tempfile.mkdtemp(prefix="text_rt_")
+
+    def dump(t: pa.Table) -> pa.Table:
+        # filename randomness only names the part; results are
+        # content-based and order-insensitive
+        path = f"{out}/part-{_uuid.uuid4().hex}.txt"
+        with open(path, "w", encoding="utf-8") as f:
+            for s in t[
+                "text"
+            ].to_pylist():
+                f.write(s + "\n")
+        return pa.table({"written": pa.array([t.num_rows], pa.int64())})
+
+    try:
+        _t(sf_dir, "documents", ["text"]).map_batches(
+            dump, batch_format="pyarrow"
+        ).materialize()  # barrier: all parts on disk before the read
+
+        def measure(t: pa.Table) -> pa.Table:
+            lens = pc.utf8_length(t["text"])
+            return pa.table(
+                {
+                    "n_lines": pa.array([t.num_rows], pa.int64()),
+                    "sum_chars": pa.array(
+                        [pc.sum(lens).as_py() or 0], pa.int64()
+                    ),
+                }
+            )
+
+        agg = (
+            rd.read_text(out)
+            .map_batches(measure, batch_format="pyarrow")
+            .aggregate(  # eager: returns a dict, safe to clean up after
+                Sum("n_lines", alias_name="n_lines"),
+                Sum("sum_chars", alias_name="sum_chars"),
+            )
+        )
+        return pa.table(
+            {
+                "n_lines": pa.array([agg["n_lines"]], pa.int64()),
+                "sum_chars": pa.array([agg["sum_chars"]], pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 # ------------------------------------------------------ left outer join
 def join_left(sf_dir: str, min_acctbal: float = 5000.0):
     """orders LEFT OUTER JOIN the high-balance customer subset — the
