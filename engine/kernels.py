@@ -196,15 +196,43 @@ def _collapse(m: re.Match) -> str:
 # Callback-free equivalent of _WS_RUN.sub(_collapse, s).strip(): by
 # construction every \x00 in the joined parts is a break marker (data
 # parts had literal \x00 stripped by handle_data), so a run containing
-# one collapses to "\n" (pass 1+3) and any other whitespace run to " "
-# (pass 2). Equality with the callback form is fixture- and fuzz-locked.
-_WS_RUN_NUL = re.compile("[ \t\r\n\f\v\u00a0]*\x00[ \t\r\n\f\v\x00\u00a0]*")
-_WS_RUN_PLAIN = re.compile("[ \t\r\n\f\v\u00a0]+")
+# one collapses to "\n" (NUL pass + final replace) and any other
+# whitespace run to " ". Equality with the callback form is fixture-
+# and fuzz-locked (tests/test_kernels.py).
+#
+# The plain pass is memchr-gated str.replace chains instead of one
+# regex sub: on clean single-spaced body text (the common page body)
+# every gate misses and the whole pass is a few C scans; the regex-sub
+# form measured 3.0 ms per 75 KB page and was 98% of extract_page.
+# Equivalence: the NUL pass (gated on a literal \x00 presence - its
+# pattern cannot match without one) absorbs whitespace around break
+# markers exactly as before; mapping each remaining non-space
+# whitespace char to " " and collapsing "  +" runs is the same fixed
+# point as replacing every maximal whitespace run with " ".
+_WS_ALL = " \t\r\n\f\v\u00a0"
+_WS_CHARS_PLAIN = "\t\r\n\f\v\u00a0"
+_SPACE_RUN = re.compile(" {2,}")
+
+
+def _absorb_breaks(joined: str) -> str:
+    """Replace every maximal [whitespace|\x00]-run containing a break
+    marker with a single \x00 — via C-speed split/strip/join instead
+    of a regex whose leading [ws]* class forces a per-position scan
+    (measured ~1 ms per 75 KB page). Middle segments that strip to
+    nothing merge their surrounding markers, exactly like the regex."""
+    segs = joined.split("\x00")
+    mid = [t for t in (s.strip(_WS_ALL) for s in segs[1:-1]) if t]
+    return "\x00".join([segs[0].rstrip(_WS_ALL)] + mid + [segs[-1].lstrip(_WS_ALL)])
 
 
 def _collapse_text(joined: str) -> str:
-    joined = _WS_RUN_NUL.sub("\x00", joined)
-    joined = _WS_RUN_PLAIN.sub(" ", joined)
+    if "\x00" in joined:
+        joined = _absorb_breaks(joined)
+    for c in _WS_CHARS_PLAIN:
+        if c in joined:
+            joined = joined.replace(c, " ")
+    if "  " in joined:
+        joined = _SPACE_RUN.sub(" ", joined)
     return joined.replace("\x00", "\n").strip()
 
 

@@ -243,6 +243,18 @@ def test_fast_scan_hypothesis(s):
     assert extract_page(s, "http://h.example/a/b") == _reference_page(s, "http://h.example/a/b")
 
 
+@settings(max_examples=500, deadline=None)
+@given(st.text(alphabet="ab \t\r\n\f\v\x00 ", max_size=80))
+def test_collapse_text_matches_callback_spec(s):
+    """_collapse_text (split/strip + memchr-gated replaces) must equal
+    the frozen callback form _WS_RUN.sub(_collapse, s).strip() on
+    whitespace-dense inputs incl. NBSP and break markers — the A9
+    byte-stability contract for the optimized path."""
+    import engine.kernels as K
+
+    assert K._collapse_text(s) == K._WS_RUN.sub(K._collapse, s).strip(), repr(s)
+
+
 _URLJOIN_ATOMS = [
     "a", "b", "p", "..", ".", "", "x y", "%20", "p;q", "a=1", "#f", "#", "?", "?q=1", "?q",
     ";p=2", "http://o.example", "https://o.example/z", "HTTP://o.example/z", "http:", "//o.example",
