@@ -850,24 +850,43 @@ def extract_page(html: bytes | str, base_url: str) -> tuple[str, list[tuple[str,
 def extract_page_batch(t: pa.Table, html_col: str = "html",
                        url_col: str = "url") -> pa.Table:
     """Set/replace `text` and append `links` (list<struct>) in one
-    HTML pass per row."""
+    HTML pass per row. The links column is assembled from FLAT
+    columns + offsets (ListArray.from_arrays over a StructArray)
+    instead of per-link Python dicts — pa.array over list-of-dicts
+    was ~40% of the batch cost at 8 links/page."""
     urls = t[url_col].to_pylist()
     texts: list[str] = []
-    links: list[list[dict]] = []
-    for u, h in zip(urls, t[html_col].to_pylist()):
+    offsets = np.empty(t.num_rows + 1, np.int32)
+    offsets[0] = 0
+    l_urls: list[str] = []
+    l_kinds: list[str] = []
+    l_idx: list[int] = []
+    for row, (u, h) in enumerate(zip(urls, t[html_col].to_pylist())):
         if h is None:
             texts.append("")
-            links.append([])
-            continue
-        txt, ls = extract_page(h, u)
-        texts.append(txt)
-        links.append([{"url": a, "kind": k, "idx": i} for a, k, i in ls])
+        else:
+            txt, ls = extract_page(h, u)
+            texts.append(txt)
+            for a, k, i in ls:
+                l_urls.append(a)
+                l_kinds.append(k)
+                l_idx.append(i)
+        offsets[row + 1] = len(l_urls)
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(l_urls, pa.string()),
+            pa.array(l_kinds, pa.string()),
+            pa.array(l_idx, pa.int32()),
+        ],
+        names=["url", "kind", "idx"],
+    )
+    links_arr = pa.ListArray.from_arrays(pa.array(offsets), struct)
     arr = pa.array(texts, type=pa.string())
     if "text" in t.column_names:
         t = t.set_column(t.column_names.index("text"), "text", arr)
     else:
         t = t.append_column("text", arr)
-    return t.append_column("links", pa.array(links, type=LINKS_TYPE))
+    return t.append_column("links", links_arr.cast(LINKS_TYPE))
 
 
 def keys_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
