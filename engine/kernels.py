@@ -61,6 +61,21 @@ def _remove_dot_segments(path: str) -> str:
     return res
 
 
+# "Already canonical" fast-path detector: a url matching this AND
+# containing no "/." in its path is a FIXED POINT of the full
+# canonicalization below (lowercase scheme+host, no port/userinfo/
+# fragment, non-empty path, no dot segments, query verbatim), so it
+# can be returned as-is. Anything unusual (uppercase host, port,
+# "@", "[", "#", missing path, "."-ish segment — incl. harmless
+# "/.hidden" false positives) takes the slow path. Equality with the
+# full path is locked by a differential property test. This check is
+# ~4x cheaper than urlsplit and link canonicalization runs per
+# extracted link in the crawl's hot path.
+_CANON_FAST = re.compile(
+    r"https?://[a-z0-9.\-]+/[^\x00-\x20\x7f?#]*(?:\?[^\x00-\x20\x7f#]*)?\Z"
+)
+
+
 def canonicalize_url(url: str) -> str:
     """Canonical form: lowercase scheme+host, no fragment, no default
     port, dot segments resolved, empty path -> "/", query kept verbatim
@@ -69,6 +84,15 @@ def canonicalize_url(url: str) -> str:
     u = url.strip()
     if not u:
         return u
+    if _CANON_FAST.match(u) and "/." not in u.split("?", 1)[0]:
+        # fixed point of _canonicalize_slow (differential-tested):
+        # the classes exclude every char urlsplit would strip or
+        # remove (C0 controls, space, DEL, tab/cr/lf)
+        return u
+    return _canonicalize_slow(u)
+
+
+def _canonicalize_slow(u: str) -> str:
     try:
         parts = urlsplit(u)
     except ValueError:

@@ -65,6 +65,30 @@ def test_canonicalize_idempotent_and_total(s):
     assert canonicalize_url(once) == once  # idempotence
 
 
+_CANON_FUZZ_ATOMS = [
+    "http://", "https://", "HTTP://", "h.example", "H.Example", "h",
+    "/", "/a", "/a/b", "/./", "/../", "/.", "/..", "/.hidden", "//x",
+    "?q=1", "?", "#f", "#", ":80", ":443", ":8080", "@", "user:pw@",
+    "%20", "x y", "\t", "\n", " ", "\x01", "\x7f", "~", ";p", "é",
+    "[::1]", "a..b", ".",
+]
+
+
+@given(st.lists(st.sampled_from(_CANON_FUZZ_ATOMS), min_size=1, max_size=8))
+@settings(max_examples=500, deadline=None)
+def test_canonicalize_fast_path_differential(parts):
+    """The already-canonical fast path (kernels._CANON_FAST) must be a
+    pure fixed-point detector: canonicalize_url (fast path enabled)
+    equals _canonicalize_slow on every input — incl. dot segments,
+    ports, userinfo, controls urlsplit strips, unicode, fragments."""
+    import engine.kernels as K
+
+    s = "".join(parts)
+    u = s.strip()
+    want = u if not u else K._canonicalize_slow(u)
+    assert canonicalize_url(s) == want, repr(s)
+
+
 def test_keys():
     u = "http://example.com/"
     k = sha1_key(u)
