@@ -51,7 +51,52 @@ def vertex_set(edges):
     )
 
 
-def pagerank(edges, n_iter: int = 3, damping_permille: int = 850):
+# Hybrid cutoff (same philosophy as the crawl's schedule_cutoff_rows):
+# an iterative graph job is a CHAIN of sequential all-to-alls — each
+# pays the per-shuffle floor, so a 7-node oracle graph was spending
+# ~30 s on ~9 shuffle floors. Below the cutoff the edge list fits a
+# driver table and the SAME integer math runs vectorized in numpy
+# (bit-identical, test-pinned); above it the distributed BSP schedule
+# runs. 5M edge rows ≈ 80 MB — comfortably a driver table.
+_SMALL_EDGE_CUTOFF = 5_000_000
+
+
+def _edge_indices(edges):
+    """(nodes, src_idx, dst_idx) for the driver paths: vertex ids
+    compacted to positions via np.unique's inverse mapping."""
+    import numpy as np
+
+    df = edges.to_pandas()
+    src = df["src"].to_numpy(np.int64)
+    dst = df["dst"].to_numpy(np.int64)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    return nodes, inv[: len(src)], inv[len(src):]
+
+
+def _pagerank_driver(edges, n_iter: int, damping_permille: int):
+    import numpy as np
+    import ray.data as rd
+
+    nodes, si, di = _edge_indices(edges)
+    n = len(nodes)
+    deg = np.zeros(n, np.int64)
+    np.add.at(deg, si, 1)
+    r0 = SCALE // n
+    teleport = (1000 - damping_permille) * r0 // 1000
+    r = np.full(n, r0, np.int64)
+    for _ in range(n_iter):
+        contrib = (r[si] * damping_permille) // (1000 * deg[si])
+        acc = np.zeros(n, np.int64)
+        np.add.at(acc, di, contrib)
+        r = teleport + acc
+    return rd.from_arrow(
+        pa.table({"node": pa.array(nodes, pa.int64()),
+                  "rank_fp": pa.array(r, pa.int64())})
+    )
+
+
+def pagerank(edges, n_iter: int = 3, damping_permille: int = 850,
+             small_cutoff: int = _SMALL_EDGE_CUTOFF):
     """Integer fixed-point PageRank over an edge Dataset (src, dst).
 
     Returns a Dataset (node, rank_fp) with rank_fp at SCALE=1e9
@@ -60,9 +105,16 @@ def pagerank(edges, n_iter: int = 3, damping_permille: int = 850):
     teleport = ((1000-d) * (SCALE // n)) // 1000. Every division is a
     non-negative int64 floor division (Arrow's truncating integer
     divide == floor for non-negatives), so any execution order gives
-    identical bits.
+    identical bits. Hybrid: edge lists at or below `small_cutoff`
+    rows take the vectorized driver path (identical bits, pinned by
+    test_pagerank_matches_integer_reference which runs BOTH paths);
+    pass small_cutoff=0 to force the distributed schedule.
     """
     from engine.joins import equi_join_bucketed
+
+    edges = edges.materialize()
+    if edges.count() <= small_cutoff:
+        return _pagerank_driver(edges, n_iter, damping_permille)
 
     deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
     # Loop-invariant datasets are MATERIALIZED once (the cached-
@@ -120,7 +172,27 @@ def pagerank(edges, n_iter: int = 3, damping_permille: int = 850):
     return ranks
 
 
-def connected_components(edges, n_iter: int = 4):
+def _components_driver(edges, n_iter: int):
+    import numpy as np
+    import ray.data as rd
+
+    nodes, si, di = _edge_indices(edges)
+    # undirected closure: messages flow both ways each round
+    usi = np.concatenate([si, di])
+    udi = np.concatenate([di, si])
+    l = np.arange(len(nodes), dtype=np.int64)
+    for _ in range(n_iter):
+        nl = l.copy()
+        np.minimum.at(nl, udi, l[usi])
+        l = nl
+    return rd.from_arrow(
+        pa.table({"node": pa.array(nodes, pa.int64()),
+                  "component": pa.array(nodes[l], pa.int64())})
+    )
+
+
+def connected_components(edges, n_iter: int = 4,
+                         small_cutoff: int = _SMALL_EDGE_CUTOFF):
     """Min-label propagation over the undirected closure of an edge
     Dataset (src, dst): every vertex starts labeled with its own id;
     each round every vertex takes the min of its own label and its
@@ -142,8 +214,17 @@ def connected_components(edges, n_iter: int = 4):
     l), which is sufficient because every vertex of an edge-derived
     graph appears as src in the undirected closure. Consuming labels
     twice (join + a labels∪msgs union) would DOUBLE the lazy lineage
-    every round — 2^n_iter re-execution."""
+    every round — 2^n_iter re-execution.
+
+    Hybrid: small edge lists take the vectorized driver path
+    (identical labels, pinned by test_connected_components_match_
+    union_find which runs BOTH paths); small_cutoff=0 forces the
+    distributed schedule."""
     from engine.joins import equi_join_bucketed
+
+    edges = edges.materialize()
+    if edges.count() <= small_cutoff:
+        return _components_driver(edges, n_iter)
 
     def rev(t: pa.Table) -> pa.Table:
         return pa.table({"src": t["dst"], "dst": t["src"]})

@@ -458,6 +458,13 @@ def test_pagerank_matches_integer_reference(ray_session):
     )
     got = {row["node"]: row["rank_fp"] for row in pagerank(ds, n_iter=3).take_all()}
     assert got == r
+    # BOTH hybrid paths must produce identical bits: small_cutoff=0
+    # forces the distributed BSP schedule on the same graph
+    got_dist = {
+        row["node"]: row["rank_fp"]
+        for row in pagerank(ds, n_iter=3, small_cutoff=0).take_all()
+    }
+    assert got_dist == r
 
 
 def test_connected_components_match_union_find(ray_session):
@@ -509,3 +516,10 @@ def test_connected_components_match_union_find(ray_session):
         for row in connected_components(ds, n_iter=rounds).take_all()
     }
     assert got == want
+    # force the distributed BSP path on the same graph (hybrid parity)
+    got_dist = {
+        row["node"]: row["component"]
+        for row in connected_components(ds, n_iter=rounds,
+                                        small_cutoff=0).take_all()
+    }
+    assert got_dist == want
