@@ -839,6 +839,13 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
         _load_robots_into_pool(pages_ds, robots_pool)
     policy = crawl.policy
     init_jar = None
+    # the config hash is pinned to the PRISTINE config, before any
+    # initialize-derived seed extension: a deterministic initialize
+    # hook extends seeds identically on fresh run and resume, but a
+    # pre-seeded first run (seeded_on_disk / initial_frontier) skips
+    # the extension — hashing the pristine config keeps fresh-run and
+    # resume hashes equal in every combination (r5, ADVICE item 2)
+    cfg_hash = _config_hash(crawl)
     if policy.initialize is not None:
         # PerformInitialization (SURVEY.md §3.1): once, driver-side,
         # BEFORE seed_hosts / the resume config-hash check — the
@@ -857,6 +864,19 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
         init_jar = ctx.cookies
         if extra and not seeded_on_disk and initial_frontier is None:
             crawl = _dc_replace(crawl, seeds=tuple(crawl.seeds) + extra)
+        elif extra:
+            # pre-seeded path: the caller built round-0 themselves, so
+            # initialize-derived urls cannot be injected here — surface
+            # the drop instead of silently losing them
+            import warnings
+
+            warnings.warn(
+                f"CrawlPolicy.initialize returned {len(extra)} extra "
+                "seed url(s) but the crawl is pre-seeded "
+                "(seeded_on_disk/initial_frontier); they are ignored — "
+                "include them in the prepared frontier instead",
+                stacklevel=2,
+            )
     # seed_hosts is only consulted by same_host_only policies — for a
     # 10^6+ seed list, canonicalizing every seed on the driver is a
     # multi-second serial cost, so skip it unless the policy needs it
@@ -889,14 +909,14 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
     if resume and manifest_path.exists():
         man = json.loads(manifest_path.read_text())
         stored = man.get("config_hash")
-        if stored is not None and stored != _config_hash(crawl):
+        if stored is not None and stored != cfg_hash:
             # a changed config silently mixes incompatible state (e.g.
             # fewer shards would reload only shards 0..n-1, dropping
             # seen keys -> re-crawls). Force an explicit fresh start.
             raise ValueError(
                 f"resume config mismatch: checkpoint was written with "
                 f"config_hash={stored}, current config hashes to "
-                f"{_config_hash(crawl)}; resume with the original "
+                f"{cfg_hash}; resume with the original "
                 f"CrawlConfig or start a fresh out_dir"
             )
         start_round = man["next_round"]
@@ -1403,7 +1423,7 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
         )
         man_payload = {
             "next_round": rnd + 1,
-            "config_hash": _config_hash(crawl),
+            "config_hash": cfg_hash,
             "metrics": res.metrics,
             "total_scheduled": res.total_scheduled,
             "total_fetched": res.total_fetched,

@@ -72,7 +72,10 @@ def _remove_dot_segments(path: str) -> str:
 # ~4x cheaper than urlsplit and link canonicalization runs per
 # extracted link in the crawl's hot path.
 _CANON_FAST = re.compile(
-    r"https?://[a-z0-9.\-]+/[^\x00-\x20\x7f?#]*(?:\?[^\x00-\x20\x7f#]*)?\Z"
+    # query group requires >=1 char: a trailing bare "?" (empty query)
+    # is NOT a fixed point — urlsplit drops it — so it must fall
+    # through to _canonicalize_slow (regression: "http://h.example/a?")
+    r"https?://[a-z0-9.\-]+/[^\x00-\x20\x7f?#]*(?:\?[^\x00-\x20\x7f#]+)?\Z"
 )
 
 

@@ -58,6 +58,19 @@ def test_canonicalize_table(raw, want):
     assert canonicalize_url(raw) == want
 
 
+def test_canonicalize_bare_query_mark():
+    """Regression (r5): a trailing bare '?' (empty query) is NOT a
+    canonical fixed point — urlsplit drops it — so the fast-path
+    regex must not accept it, or the same URL gets two identities."""
+    import engine.kernels as K
+
+    assert K._CANON_FAST.match("http://h.example/a?") is None
+    assert canonicalize_url("http://h.example/a?") == "http://h.example/a"
+    assert canonicalize_url("http://h.example/a?") == K._canonicalize_slow(
+        "http://h.example/a?"
+    )
+
+
 @given(st.text(max_size=80))
 @settings(max_examples=200, deadline=None)
 def test_canonicalize_idempotent_and_total(s):

@@ -378,9 +378,9 @@ def test_initialize_hook_matches_oracle(ray_session, tmp_path):
 
 
 def test_initialize_hook_resume_consistent(ray_session, tmp_path):
-    """initialize re-runs on resume and the EXTENDED seed list feeds
-    the config hash — a partial crawl + resume must equal one full
-    run (and not raise a config-mismatch)."""
+    """initialize re-runs on resume, but the config hash is pinned to
+    the PRISTINE (pre-extension) config — a partial crawl + resume
+    must equal one full run (and not raise a config-mismatch)."""
     tbl, pages = _gated_site()
     out = str(tmp_path / "crawl")
     full_c = CrawlConfig(seeds=(), budget_per_host=1, max_rounds=6,
@@ -392,6 +392,41 @@ def test_initialize_hook_resume_consistent(ray_session, tmp_path):
     res2 = run_crawl(tbl, full_c, out, pool=SeenPool(full_c.num_shards),
                      resume=True)
     assert _trace_key(res2.trace()) == _trace_key(res_full.trace())
+
+
+def test_initialize_preseeded_hash_consistent(ray_session, tmp_path):
+    """Regression (r5, ADVICE 2): a pre-seeded first run (initialize
+    extras dropped with a warning) must write the SAME config hash a
+    later non-pre-seeded resume computes — no spurious 'resume config
+    mismatch'."""
+    import warnings
+
+    import ray.data as rd
+
+    from engine.crawl import prepare_seed_frontier
+
+    tbl, pages = _gated_site()
+    crawl = CrawlConfig(seeds=(), budget_per_host=1, max_rounds=2,
+                        policy=_login_policy())
+    pool = SeenPool(crawl.num_shards)
+    out = str(tmp_path / "crawl")
+    # pre-seed with the url initialize would have contributed
+    prepare_seed_frontier(
+        rd.from_items([{"url": f"{GATE}/dash?token=SECRET123"}]),
+        crawl, pool, out,
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        run_crawl(tbl, crawl, out, pool=pool, seeded_on_disk=True)
+    assert any("pre-seeded" in str(w.message) for w in caught)
+    # resume via the normal path: initialize extends seeds, but the
+    # hash is pinned to the pristine config — must not raise
+    full_c = CrawlConfig(seeds=(), budget_per_host=1, max_rounds=6,
+                         policy=_login_policy())
+    res = run_crawl(tbl, full_c, out, pool=SeenPool(full_c.num_shards),
+                    resume=True)
+    urls = {r["url"] for r in res.trace()}
+    assert f"{GATE}/dash?token=SECRET123" in urls
 
 
 # ---------------------------------------------------------------------------
