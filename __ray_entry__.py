@@ -47,23 +47,37 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordering matters: the driver records only the FIRST 50 entries
     into CORRECTNESS_r{N}.json. 65 of the 75 entries are oracle-backed;
-    the first 50 positions therefore carry the 50 highest-value
-    oracle-backed ops (round-4 fixes and the round-3-unrecorded ops up
-    front). The 14 oracle-backed entries pushed past the cap
-    (stratified_sample … token_count below) are the simplest of the
-    layer and were driver-verified green in CORRECTNESS_r01–r03 (all
-    64 are additionally checked by tools/self_correctness.py →
-    CORRECTNESS_SELF.json and by tests/test_queries.py); the 10
-    rows-only entries (no SQL oracle by nature) come last."""
+    the first 50 positions carry (a) the 15 ops whose last driver
+    evidence was r01–r03 — recorded in r05 so every oracle-backed op
+    has driver evidence within the last two rounds — and (b) the 35
+    complex/shuffle-heavy ops that should stay recorded every round.
+    The 15 oracle-backed entries pushed past the cap were all
+    driver-green in CORRECTNESS_r04 (all 65 are additionally checked
+    by tools/self_correctness.py → CORRECTNESS_SELF.json and by
+    tests/test_queries.py); the 10 rows-only entries (no SQL oracle by
+    nature) come last."""
     from engine import ops, textops
 
     q: dict[str, Callable[[str], Any]] = {
-        # --- round-4 fixes: prove them first ---
-        "asof_join": ops.asof_join,
-        "jsonl_roundtrip": ops.jsonl_roundtrip,
-        "csv_roundtrip": ops.csv_roundtrip,
-        "text_roundtrip": ops.text_roundtrip,
-        # --- oracle-backed ops that sat past the 50-cap in round 3 ---
+        # --- r5 rotation: the 15 oracle-backed ops whose last driver
+        # evidence was r01-r03 come FIRST so CORRECTNESS_r05 records
+        # them (VERDICT r4, next-round item 2) ---
+        "filter_project": ops.filter_project,
+        "topk": ops.topk,
+        "sort": ops.sort_orders,
+        "distinct": ops.distinct,
+        "union_all": ops.union_all,
+        "sample": ops.sample,
+        "json_extract": ops.json_extract,
+        "date_math": ops.date_math,
+        "string_fns": ops.string_fns,
+        "histogram": ops.histogram,
+        "token_count": textops.token_count,
+        "bpe_token_count": textops.bpe_token_count,
+        "lang_id": textops.lang_id,
+        "quality_score": textops.quality_score,
+        "stratified_sample": ops.stratified_sample,
+        # --- complex / shuffle-heavy ops stay recorded every round ---
         "ngram_topk": textops.ngram_topk,
         "decontaminate": textops.decontaminate,
         "remove_boilerplate": textops.remove_boilerplate,
@@ -74,13 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_filter": textops.repetition_filter,
         "tfidf_topk": textops.tfidf_topk,
         "pii_scrub": textops.pii_scrub,
-        "ann_topk_full": textops.ann_topk_full,
-        "multimodal_decode": textops.multimodal_decode,
-        "multimodal_frame_sample": textops.multimodal_frame_sample,
-        "css_extract": textops.css_extract,
-        # --- generic relational layer (SURVEY.md §2B), riskiest first ---
         "groupby_agg": ops.groupby_agg,
-        "agg_global": ops.agg_global,
         "join_hash": ops.join_hash,
         "join_broadcast": ops.join_broadcast,
         "join_semi": ops.join_semi,
@@ -89,10 +97,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_distinct": ops.intersect_distinct,
         "except_distinct": ops.except_distinct,
         "topk_groups": ops.topk_groups,
-        "dedup_exact": ops.dedup_exact,
-        "url_canonicalize": ops.url_canonicalize,
-        "asof_latest": ops.asof_latest,
-        "join_range": ops.join_range,
         "sessionize": ops.sessionize,
         "window_rank": ops.window_rank,
         "window_lag": ops.window_lag,
@@ -106,30 +110,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_stats": ops.corr_stats,
         "unpivot_events": ops.unpivot_events,
         "groupby_salted": ops.groupby_salted,
-        "approx_distinct_hll": ops.approx_distinct_hll,
-        "vector_topk": ops.vector_topk,
         # --- link-graph analytics (engine/graph.py) ---
         "pagerank_hosts": ops.pagerank_hosts,
         "graph_degree": ops.graph_degree,
         "graph_components": ops.graph_components,
-        # --- training-data pipeline ops (textops) ---
         # ---------- driver cap: entries below are NOT recorded ----------
-        # oracle-backed but trivially stable (green r01-r03):
-        "quality_score": textops.quality_score,
-        "stratified_sample": ops.stratified_sample,
-        "bpe_token_count": textops.bpe_token_count,
-        "lang_id": textops.lang_id,
-        "filter_project": ops.filter_project,
-        "topk": ops.topk,
-        "sort": ops.sort_orders,
-        "distinct": ops.distinct,
-        "union_all": ops.union_all,
-        "sample": ops.sample,
-        "json_extract": ops.json_extract,
-        "date_math": ops.date_math,
-        "string_fns": ops.string_fns,
-        "histogram": ops.histogram,
-        "token_count": textops.token_count,
+        # oracle-backed, driver-green in CORRECTNESS_r04 (the roundtrip
+        # quartet, r4-new ops, and single-shuffle stalwarts):
+        "asof_join": ops.asof_join,
+        "jsonl_roundtrip": ops.jsonl_roundtrip,
+        "csv_roundtrip": ops.csv_roundtrip,
+        "text_roundtrip": ops.text_roundtrip,
+        "ann_topk_full": textops.ann_topk_full,
+        "multimodal_decode": textops.multimodal_decode,
+        "multimodal_frame_sample": textops.multimodal_frame_sample,
+        "css_extract": textops.css_extract,
+        "agg_global": ops.agg_global,
+        "dedup_exact": ops.dedup_exact,
+        "url_canonicalize": ops.url_canonicalize,
+        "asof_latest": ops.asof_latest,
+        "join_range": ops.join_range,
+        "approx_distinct_hll": ops.approx_distinct_hll,
+        "vector_topk": ops.vector_topk,
         # rows-only (LSH / iterative / actor state — no SQL oracle;
         # locked by brute-force-oracle + golden tests instead):
         "doc_fingerprint": textops.doc_fingerprint,
