@@ -40,8 +40,15 @@ def _conc(n=None):
     return (2, max(2, cluster_cpus()))
 
 
-def _docs(sf_dir: str, columns=None):
-    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
+def _docs(src, columns=None):
+    """documents source: an sf_dir path (pruned documents.parquet
+    read) or an already-built Dataset carrying at least the requested
+    columns — the chained-pipeline form every op here accepts, so
+    stages compose without re-reading storage (examples/
+    training_data_prep.py)."""
+    if isinstance(src, str):
+        return read_parquet_clean(f"{src}/documents.parquet", columns=columns)
+    return src.select_columns(columns) if columns is not None else src
 
 
 def _emb(sf_dir: str, columns=None):
@@ -1412,9 +1419,13 @@ def clean_corpus(sf_dir: str, jaccard_threshold: float = 0.7):
             }
         )
 
-    def losers_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def losers_in_bucket(g: pd.DataFrame) -> pa.Table:
         mins = g.groupby("k")["doc_id"].transform("min")
-        return g.loc[g["doc_id"] != mins, ["doc_id"]]
+        sel = g.loc[g["doc_id"] != mins, "doc_id"]
+        # return an ARROW table with a pinned int64 schema: an all-empty
+        # pandas frame is schema-less to Ray (PandasBlockSchema names=[])
+        # and silently degrades doc_id to double downstream (r5 fix)
+        return pa.table({"doc_id": pa.array(sel.to_numpy(), pa.int64())})
 
     losers_exact = (
         docs.map_batches(md5_key, batch_format="pyarrow")
@@ -1624,48 +1635,57 @@ def gopher_quality_filter(sf_dir: str, min_words: int = 10,
     runs at read bandwidth at any corpus size."""
 
     def f(t: pa.Table) -> pa.Table:
-        txt = t["text"]
-        nchars = pc.cast(pc.utf8_length(txt), pa.int64())
-        nospace = pc.cast(
-            pc.utf8_length(pc.replace_substring(txt, " ", "")), pa.int64()
-        )
-        nwords = pc.add(pc.subtract(nchars, nospace), 1)
-        padded = pc.binary_join_element_wise(
-            pa.nulls(len(t), pa.string()).fill_null(" "),
-            txt,
-            pa.nulls(len(t), pa.string()).fill_null(" "),
-            "",
-        )
-        hits = pa.nulls(len(t), pa.int64()).fill_null(0)
-        for w in _GOPHER_REQUIRED:
-            hits = pc.add(
-                hits,
-                pc.cast(pc.match_substring(padded, f" {w} "), pa.int64()),
-            )
-        keep = pc.and_(
-            pc.and_(
-                pc.and_(
-                    pc.greater_equal(nwords, min_words),
-                    pc.less_equal(nwords, max_words),
-                ),
-                pc.and_(
-                    pc.less_equal(pc.multiply(nwords, 3), nospace),
-                    pc.less_equal(nospace, pc.multiply(nwords, 10)),
-                ),
-            ),
-            pc.greater_equal(hits, 2),
-        )
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_words": nwords,
-                "n_letter_chars": nospace,
-                "stop_hits": hits,
-                "keep": keep,
-            }
-        )
+        return gopher_features(t, min_words, max_words)
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def gopher_features(t: pa.Table, min_words: int = 10,
+                    max_words: int = 100_000) -> pa.Table:
+    """The vectorized Gopher-gate kernel (shared by
+    gopher_quality_filter and chained pipelines that want to FILTER on
+    the `keep` mask in the same pass instead of re-reading the
+    corpus): (doc_id, n_words, n_letter_chars, stop_hits, keep)."""
+    txt = t["text"]
+    nchars = pc.cast(pc.utf8_length(txt), pa.int64())
+    nospace = pc.cast(
+        pc.utf8_length(pc.replace_substring(txt, " ", "")), pa.int64()
+    )
+    nwords = pc.add(pc.subtract(nchars, nospace), 1)
+    padded = pc.binary_join_element_wise(
+        pa.nulls(len(t), pa.string()).fill_null(" "),
+        txt,
+        pa.nulls(len(t), pa.string()).fill_null(" "),
+        "",
+    )
+    hits = pa.nulls(len(t), pa.int64()).fill_null(0)
+    for w in _GOPHER_REQUIRED:
+        hits = pc.add(
+            hits,
+            pc.cast(pc.match_substring(padded, f" {w} "), pa.int64()),
+        )
+    keep = pc.and_(
+        pc.and_(
+            pc.and_(
+                pc.greater_equal(nwords, min_words),
+                pc.less_equal(nwords, max_words),
+            ),
+            pc.and_(
+                pc.less_equal(pc.multiply(nwords, 3), nospace),
+                pc.less_equal(nospace, pc.multiply(nwords, 10)),
+            ),
+        ),
+        pc.greater_equal(hits, 2),
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_words": nwords,
+            "n_letter_chars": nospace,
+            "stop_hits": hits,
+            "keep": keep,
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
