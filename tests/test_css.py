@@ -155,14 +155,24 @@ _IDS = ["i1", "i2"]
 
 
 @st.composite
-def _node(draw, depth):
-    tag = draw(st.sampled_from(_TAGS))
+def _node(draw, depth, parent=None):
+    # valid-HTML nesting only: no li directly under li, no block tag
+    # (div/p) directly under p — those are exactly the nestings the
+    # matcher's implied-end-tag rules rewrite, so a "well-formed" tree
+    # using them would not round-trip through any HTML5 parser either.
+    allowed = list(_TAGS)
+    if parent == "li":
+        allowed.remove("li")
+    elif parent == "p":
+        allowed.remove("p")
+        allowed.remove("div")
+    tag = draw(st.sampled_from(allowed))
     classes = draw(st.sets(st.sampled_from(_CLASSES), max_size=2))
     nid = draw(st.one_of(st.none(), st.sampled_from(_IDS)))
     rel = draw(st.one_of(st.none(), st.sampled_from(["next", "prev"])))
     kids = []
     if depth < 3:
-        kids = draw(st.lists(_node(depth=depth + 1), max_size=3))
+        kids = draw(st.lists(_node(depth=depth + 1, parent=tag), max_size=3))
     return {"tag": tag, "classes": frozenset(classes), "id": nid,
             "rel": rel, "kids": kids}
 
@@ -179,41 +189,75 @@ def _render(n) -> str:
     return f'<{n["tag"]}{attrs}>t{inner}</{n["tag"]}>'
 
 
-def _brute_matches(n, steps, combos, path=()):
+def _brute_matches(n, steps, combos, path=(), sibs=None, idx=0):
     """Independent reference: recursive tree walk; per node, dynamic
-    check of the compound chain against the full ancestor path."""
-    out = []
-    path = path + (n,)
+    check of the compound chain against the full ancestor path with
+    sibling context (entry = (node, siblings_list, index0))."""
+    from engine.css import _nth_matches
 
-    def node_ok(c, m):
+    if sibs is None:
+        sibs = [n]
+    out = []
+    path = path + ((n, sibs, idx),)
+
+    def attr_ok(name, op, val, m):
+        got = {"class": " ".join(sorted(m["classes"])) or None,
+               "id": m["id"], "rel": m["rel"]}.get(name)
+        if got is None:
+            return False
+        if val is None:
+            return True
+        if op == "=":
+            return got == val
+        if op == "~=":
+            return bool(val) and val in got.split()
+        if op == "^=":
+            return bool(val) and got.startswith(val)
+        if op == "$=":
+            return bool(val) and got.endswith(val)
+        if op == "*=":
+            return bool(val) and val in got
+        if op == "|=":
+            return got == val or got.startswith(val + "-")
+        raise AssertionError(op)
+
+    def node_ok(c, ent):
+        m, _sibs, i0 = ent
         if c.tag is not None and m["tag"] != c.tag:
             return False
         if c.id is not None and m["id"] != c.id:
             return False
         if c.classes and not (c.classes <= m["classes"]):
             return False
-        for name, val in c.attrs:
-            got = {"class": " ".join(sorted(m["classes"])) or None,
-                   "id": m["id"], "rel": m["rel"]}.get(name)
-            if got is None:
+        for name, op, val in c.attrs:
+            if not attr_ok(name, op, val, m):
                 return False
-            if val is not None and got != val:
-                return False
+        if c.nth is not None and not _nth_matches(*c.nth, i0 + 1):
+            return False
         return True
 
-    def chain_ok(si, pi):
-        if not node_ok(steps[si], path[pi]):
+    def chain_ok(si, pi, ent):
+        if not node_ok(steps[si], ent):
             return False
         if si == 0:
             return True
-        if combos[si - 1] == ">":
-            return pi > 0 and chain_ok(si - 1, pi - 1)
-        return any(chain_ok(si - 1, q) for q in range(pi - 1, -1, -1))
+        c = combos[si - 1]
+        _m, esibs, ei = ent
+        if c == ">":
+            return pi > 0 and chain_ok(si - 1, pi - 1, path[pi - 1])
+        if c == "+":
+            return ei >= 1 and chain_ok(si - 1, pi, (esibs[ei - 1], esibs, ei - 1))
+        if c == "~":
+            return any(
+                chain_ok(si - 1, pi, (esibs[j], esibs, j))
+                for j in range(ei - 1, -1, -1)
+            )
+        return any(chain_ok(si - 1, q, path[q]) for q in range(pi - 1, -1, -1))
 
-    if chain_ok(len(steps) - 1, len(path) - 1):
+    if chain_ok(len(steps) - 1, len(path) - 1, path[-1]):
         out.append(n)
-    for k in n["kids"]:
-        out.extend(_brute_matches(k, steps, combos, path))
+    for i, k in enumerate(n["kids"]):
+        out.extend(_brute_matches(k, steps, combos, path, n["kids"], i))
     return out
 
 
@@ -229,7 +273,13 @@ def _selector(draw):
         if draw(st.booleans()):
             parts.append("#" + draw(st.sampled_from(_IDS)))
         if draw(st.booleans()):
-            parts.append("[rel=" + draw(st.sampled_from(["next", "prev"])) + "]")
+            op = draw(st.sampled_from(["=", "^=", "$=", "*=", "~=", "|="]))
+            parts.append("[rel" + op + draw(st.sampled_from(["next", "prev", "ne", "xt"])) + "]")
+        if draw(st.booleans()):
+            parts.append(draw(st.sampled_from([
+                ":first-child", ":nth-child(2)", ":nth-child(odd)",
+                ":nth-child(even)", ":nth-child(3n+1)", ":nth-child(2n)",
+            ])))
         if not parts:
             parts.append(draw(st.sampled_from(_TAGS)))
         return "".join(parts)
@@ -237,11 +287,11 @@ def _selector(draw):
     n_steps = draw(st.integers(1, 3))
     s = compound()
     for _ in range(n_steps - 1):
-        s += draw(st.sampled_from([" ", " > "])) + compound()
+        s += draw(st.sampled_from([" ", " > ", " + ", " ~ "])) + compound()
     return s
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=300, deadline=None)
 @given(tree=_node(depth=0), sel=_selector())
 def test_css_matches_brute_force_tree(tree, sel):
     from engine.css import compile_selector, select
@@ -269,3 +319,108 @@ def test_selector_collect_links_hook():
     assert hook("https://x.example/l", DOC) == [
         "https://x.example/t/1", "https://x.example/t/2"
     ]
+
+# ---------------------------------------------------------------------------
+# r5 grammar extensions: sibling combinators, positional pseudo-classes,
+# attribute operators, implied end tags, script/style text skipping
+# ---------------------------------------------------------------------------
+
+PAGED = b"""
+<ul class="pagination">
+  <li class="page current"><a href="/p/1">1</a></li>
+  <li class="page"><a href="/p/2">2</a></li>
+  <li class="page"><a href="/p/3">3</a></li>
+  <li class="next"><a href="/p/2" rel="next">Next</a></li>
+</ul>
+"""
+
+
+def test_adjacent_sibling_combinator():
+    # li.page + li.page > a: pages 2 and 3 (each directly follows a
+    # .page), never page 1 (no preceding sibling) or Next (not .page)
+    assert select_attr(PAGED, "li.page + li.page > a", "href") == [
+        "/p/2", "/p/3"
+    ]
+    assert select_attr(PAGED, "li.current + li > a", "href") == ["/p/2"]
+
+
+def test_general_sibling_combinator():
+    assert select_attr(PAGED, "li.current ~ li > a", "href") == [
+        "/p/2", "/p/3", "/p/2"
+    ]
+    # ~ requires a PRECEDING sibling: nothing precedes li.current
+    assert select_attr(PAGED, "li.next ~ li > a", "href") == []
+
+
+def test_first_child_and_nth_child():
+    assert select_attr(PAGED, "li:first-child > a", "href") == ["/p/1"]
+    assert select_attr(PAGED, "li:nth-child(2) > a", "href") == ["/p/2"]
+    assert select_attr(PAGED, "li:nth-child(odd) > a", "href") == [
+        "/p/1", "/p/3"
+    ]
+    assert select_attr(PAGED, "li:nth-child(even) > a", "href") == [
+        "/p/2", "/p/2"
+    ]
+    assert select_attr(PAGED, "li:nth-child(2n+1) > a", "href") == [
+        "/p/1", "/p/3"
+    ]
+    # a is each li's only (hence first) child
+    assert select_attr(PAGED, "a:first-child", "href") == [
+        "/p/1", "/p/2", "/p/3", "/p/2"
+    ]
+
+
+def test_attr_operators():
+    doc = b'<a href="/thread/42?page=2">x</a><a href="/user/7">y</a>'
+    assert select_attr(doc, 'a[href^="/thread/"]', "href") == [
+        "/thread/42?page=2"
+    ]
+    assert select_attr(doc, 'a[href$="page=2"]', "href") == [
+        "/thread/42?page=2"
+    ]
+    assert select_attr(doc, 'a[href*="user"]', "href") == ["/user/7"]
+    cls = b'<div class="alpha beta">t</div>'
+    assert select_text(cls, 'div[class~="beta"]') == ["t"]
+    assert select_text(cls, 'div[class~="bet"]') == []
+    lang = b'<div lang="en-US">t</div>'
+    assert select_text(lang, 'div[lang|="en"]') == ["t"]
+    assert select_text(lang, 'div[lang|="e"]') == []
+
+
+def test_implied_end_tags_li():
+    # real-world unclosed list items: each new <li> closes the open one,
+    # so li + li works without </li> in the markup
+    messy = b'<ul><li class=a>one<li class=b>two<li class=c>three</ul>'
+    assert select_text(messy, "li.a + li") == ["two"]
+    assert select_text(messy, "li:nth-child(3)") == ["three"]
+    # NESTED list still nests (implied close only pops the stack top)
+    nested = b"<ul><li>outer<ul><li>inner</li></ul></li></ul>"
+    assert select_text(nested, "li li") == ["inner"]
+
+
+def test_implied_end_tags_p_and_table():
+    messy = b"<p>alpha<p>beta<div>gamma</div>"
+    assert select_text(messy, "p + p") == ["beta"]
+    assert select_text(messy, "p:first-child") == ["alpha"]
+    rows = b"<table><tr><td>a<td>b<tr><td>c</table>"
+    assert select_text(rows, "td + td") == ["b"]
+    assert select_text(rows, "tr + tr td") == ["c"]
+
+
+def test_script_style_text_not_captured():
+    doc = (b"<div class=x>visible<script>var hidden = 1;</script>"
+           b"<style>.x{color:red}</style>tail</div>")
+    assert select_text(doc, "div.x") == ["visibletail"]
+    # the elements themselves still match selectors
+    assert [m[0] for m in select(doc, "script")] == ["script"]
+
+
+def test_unsupported_pseudo_fails_fast():
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        compile_selector("li:last-child")
+    with _pt.raises(ValueError):
+        compile_selector("li:nth-child(x)")
+    with _pt.raises(ValueError):
+        compile_selector("li +")
