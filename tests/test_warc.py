@@ -6,6 +6,7 @@ from __future__ import annotations
 import pathlib
 from datetime import datetime
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -105,3 +106,84 @@ def test_warc_capture_mode_roundtrip(ray_session, tmp_path):
     assert kinds == ["request", "response"] * 5
     assert recs[0]["headers"]["WARC-Concurrent-To"] == recs[1]["headers"]["WARC-Record-ID"]
     assert recs[0]["payload"].startswith(b"GET /p/")
+
+
+def test_warc_streaming_ingest_soak(ray_session, tmp_path):
+    """r5 (VERDICT item 10): 10k pages -> write_warc_datasink (capture
+    mode) -> distributed warc_pages_dataset ingest; round-trip count,
+    per-url html byte equality, digest verification, and the ingested
+    table is CRAWLABLE (run one crawl round over it)."""
+    import ray.data as rd
+
+    from engine.crawl import run_crawl
+    from engine.oracle import CrawlConfig
+    from engine.synth import SynthConfig, build_pages_table, page_url
+    from engine.warc import warc_pages_dataset, write_warc_datasink
+
+    n = 10_000
+    pages = build_pages_table(SynthConfig(n_hosts=20, n_pages=n))
+    out = str(tmp_path / "warc")
+    written = write_warc_datasink(rd.from_arrow(pages), out, mode="capture")
+    assert written == n
+
+    back = warc_pages_dataset(out)  # digest-verifying ingest
+    got = back.to_pandas().sort_values("url").reset_index(drop=True)
+    src = pages.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(got) == n
+    assert list(got["url"]) == list(src["url"])
+    assert all(bytes(a) == bytes(b) for a, b in zip(got["html"], src["html"]))
+    assert (got["status"] == 200).all()
+
+    # ingested table is crawlable: one budget-limited round
+    ingested = pa.table({
+        "url": pa.array(got["url"], pa.string()),
+        "warc_ts": pa.array(got["warc_ts"], pa.timestamp("us")),
+        "html": pa.array([bytes(x) for x in got["html"]], pa.binary()),
+        "text": pa.array([""] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+    })
+    crawl = CrawlConfig(seeds=(page_url(0, 0),), budget_per_host=2,
+                        max_rounds=1)
+    res = run_crawl(ingested, crawl, str(tmp_path / "crawl"))
+    assert res.total_fetched >= 1
+
+
+def test_warc_ingest_detects_corruption(ray_session, tmp_path):
+    import pathlib
+
+    import ray.data as rd
+
+    from engine.synth import SynthConfig, build_pages_table
+    from engine.warc import warc_pages_dataset, write_warc_datasink
+
+    pages = build_pages_table(SynthConfig(n_hosts=2, n_pages=20))
+    out = str(tmp_path / "warc")
+    write_warc_datasink(rd.from_arrow(pages), out, mode="capture")
+    # flip one byte inside the LAST gzip member's payload region by
+    # re-writing a member: simpler — regenerate one shard with a
+    # poisoned digest header
+    shard = sorted(pathlib.Path(out).glob("*.warc.gz"))[0]
+    import gzip as _gz
+
+    from engine.warc import split_warc_members
+
+    recs = list(split_warc_members(shard.read_bytes()))
+    # rebuild the shard, corrupting the first response body
+    import io
+
+    buf = io.BytesIO()
+    for r in recs:
+        head = [r["version"]]
+        head += [f"{k}: {v}" for k, v in r["headers"].items()]
+        payload = r["payload"]
+        if r["headers"]["WARC-Type"] == "response":
+            payload = payload.replace(b"HTTP/1.1", b"HTTP/1.0", 1) + b"X"
+        head[-1] = f"Content-Length: {len(payload)}"
+        rec = "\r\n".join(head).encode() + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(rec)
+    shard.write_bytes(buf.getvalue())
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        warc_pages_dataset(out).to_pandas()
