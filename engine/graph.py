@@ -25,12 +25,52 @@ mirrors this).
 
 from __future__ import annotations
 
+import json
+import pathlib
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Min, Sum
 
 SCALE = 1_000_000_000
+
+
+def _ckpt_commit(state_ds, ckpt_dir: str, done: int, cfg: dict):
+    """Write one iteration's vertex-state Dataset as a partitioned
+    parquet round (crawl §4.3 layout: parts first, MANIFEST last as
+    the commit point) and return the READ-BACK dataset — which also
+    truncates the lazy lineage, so a 100-iteration job's plan depth
+    stays O(1) instead of O(iterations)."""
+    import ray.data as rd
+
+    out = pathlib.Path(ckpt_dir)
+    rdir = out / f"round={done}"
+    rdir.mkdir(parents=True, exist_ok=True)
+    state_ds.write_parquet(str(rdir))
+    (out / "MANIFEST.json").write_text(json.dumps({"done": done, "cfg": cfg}))
+    return rd.read_parquet(str(rdir))
+
+
+def _ckpt_resume(ckpt_dir: str | None, resume: bool, cfg: dict):
+    """(completed_iterations, state_ds | None). A config mismatch on
+    resume raises — silently mixing damping/vertex-count regimes would
+    produce plausible-looking garbage."""
+    import ray.data as rd
+
+    if not (resume and ckpt_dir):
+        return 0, None
+    man = pathlib.Path(ckpt_dir) / "MANIFEST.json"
+    if not man.exists():
+        return 0, None
+    m = json.loads(man.read_text())
+    if m["cfg"] != cfg:
+        raise ValueError(
+            f"graph checkpoint config mismatch: stored {m['cfg']}, "
+            f"current {cfg}; start a fresh checkpoint_dir"
+        )
+    done = m["done"]
+    return done, rd.read_parquet(str(pathlib.Path(ckpt_dir) / f"round={done}"))
 
 
 def _nodes(edges, col: str):
@@ -96,7 +136,8 @@ def _pagerank_driver(edges, n_iter: int, damping_permille: int):
 
 
 def pagerank(edges, n_iter: int = 3, damping_permille: int = 850,
-             small_cutoff: int = _SMALL_EDGE_CUTOFF):
+             small_cutoff: int = _SMALL_EDGE_CUTOFF,
+             checkpoint_dir: str | None = None, resume: bool = False):
     """Integer fixed-point PageRank over an edge Dataset (src, dst).
 
     Returns a Dataset (node, rank_fp) with rank_fp at SCALE=1e9
@@ -109,6 +150,14 @@ def pagerank(edges, n_iter: int = 3, damping_permille: int = 850,
     rows take the vectorized driver path (identical bits, pinned by
     test_pagerank_matches_integer_reference which runs BOTH paths);
     pass small_cutoff=0 to force the distributed schedule.
+
+    checkpoint_dir (distributed branch only): each iteration's ranks
+    are committed as checkpoint_dir/round=k parquet + MANIFEST (a
+    10^10-edge job is hours of sequential shuffles; a kill costs at
+    most one iteration). resume=True re-enters at MANIFEST.done with
+    bit-identical results (integer math, test-pinned); the loop
+    invariants (degree join, vertex set) are recomputed — bounded,
+    one-time. Config mismatches on resume raise.
     """
     from engine.joins import equi_join_bucketed
 
@@ -152,12 +201,19 @@ def pagerank(edges, n_iter: int = 3, damping_permille: int = 850,
             }
         )
 
+    cfg = {"kind": "pagerank", "damping": damping_permille, "n": n}
+    done, ck_ranks = _ckpt_resume(checkpoint_dir, resume, cfg)
+
     zeros = verts.map_batches(zero_c, batch_format="pyarrow")
-    ranks = verts.map_batches(
-        lambda t: t.append_column("rank_fp", pa.array([r0] * len(t), pa.int64())),
-        batch_format="pyarrow",
-    )
-    for _ in range(n_iter):
+    if ck_ranks is not None:
+        ranks = ck_ranks
+    else:
+        done = 0
+        ranks = verts.map_batches(
+            lambda t: t.append_column("rank_fp", pa.array([r0] * len(t), pa.int64())),
+            batch_format="pyarrow",
+        )
+    for k in range(done, n_iter):
         sums = equi_join_bucketed(
             edges_deg, ranks, on="src", right_on="node"
         ).map_batches(contrib, batch_format="pyarrow")
@@ -169,6 +225,8 @@ def pagerank(edges, n_iter: int = 3, damping_permille: int = 850,
             .aggregate(Sum("c", alias_name="c"))
             .map_batches(fold, batch_format="pyarrow")
         )
+        if checkpoint_dir:
+            ranks = _ckpt_commit(ranks, checkpoint_dir, k + 1, cfg)
     return ranks
 
 
@@ -192,7 +250,9 @@ def _components_driver(edges, n_iter: int):
 
 
 def connected_components(edges, n_iter: int = 4,
-                         small_cutoff: int = _SMALL_EDGE_CUTOFF):
+                         small_cutoff: int = _SMALL_EDGE_CUTOFF,
+                         checkpoint_dir: str | None = None,
+                         resume: bool = False):
     """Min-label propagation over the undirected closure of an edge
     Dataset (src, dst): every vertex starts labeled with its own id;
     each round every vertex takes the min of its own label and its
@@ -219,7 +279,10 @@ def connected_components(edges, n_iter: int = 4,
     Hybrid: small edge lists take the vectorized driver path
     (identical labels, pinned by test_connected_components_match_
     union_find which runs BOTH paths); small_cutoff=0 forces the
-    distributed schedule."""
+    distributed schedule.
+
+    checkpoint_dir/resume (distributed branch only): per-round label
+    commits + MANIFEST, same layout and semantics as pagerank's."""
     from engine.joins import equi_join_bucketed
 
     edges = edges.materialize()
@@ -245,14 +308,24 @@ def connected_components(edges, n_iter: int = 4,
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"], "component": t["l"]})
 
-    labels = vertex_set(edges).map_batches(self_label, batch_format="pyarrow")
-    for _ in range(n_iter):
+    cfg = {"kind": "components", "n_iter_cap": None}
+    done, ck_labels = _ckpt_resume(checkpoint_dir, resume, cfg)
+    if ck_labels is not None:
+        labels = ck_labels
+    else:
+        done = 0
+        labels = vertex_set(edges).map_batches(
+            self_label, batch_format="pyarrow"
+        )
+    for k in range(done, n_iter):
         labels = (
             equi_join_bucketed(und, labels, on="src", right_on="node")
             .map_batches(msgs_and_self, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Min("l", alias_name="l"))
         )
+        if checkpoint_dir:
+            labels = _ckpt_commit(labels, checkpoint_dir, k + 1, cfg)
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
