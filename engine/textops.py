@@ -468,6 +468,67 @@ def _minhash_bands(t: pa.Table) -> pa.Table:
     return MinHasher()(t)
 
 
+def _min_sigs(t: pa.Table) -> pa.Table:
+    """Per-doc minhash SIGNATURE stage: (doc_id, sig) where sig packs
+    the shingle-set size (4B big-endian) + the 64 int64 minhash
+    components (512B) — 516 fixed bytes per doc, the heavy shingling
+    pass done exactly once. Band rows and the verify pre-filter both
+    derive from this table."""
+    a, b = _perm_cached()
+    sigs = []
+    for s in t["text"].to_pylist():
+        sh = _shingles(s, 3)
+        mh = _minhash(sh, a, b)
+        sigs.append(len(sh).to_bytes(4, "big") + mh.astype(np.int64).tobytes())
+    return pa.table(
+        {"doc_id": t["doc_id"], "sig": pa.array(sigs, pa.binary())}
+    )
+
+
+def _bands_of_sigs(t: pa.Table) -> pa.Table:
+    """(doc_id, sig) → one row per LSH band — bit-identical hashes to
+    MinHasher's (same row bytes feed the same md5)."""
+    band_col, hash_col, id_col = [], [], []
+    for did, blob in zip(t["doc_id"].to_pylist(), t["sig"].to_pylist()):
+        rows = np.frombuffer(blob[4:], np.int64).reshape(_BANDS, -1)
+        for bidx in range(_BANDS):
+            h = hashlib.md5(rows[bidx].tobytes()).digest()[:8]
+            band_col.append(bidx)
+            hash_col.append(int.from_bytes(h, "big") >> 1)
+            id_col.append(did)
+    return pa.table(
+        {
+            "band": pa.array(band_col, pa.int32()),
+            "band_hash": pa.array(hash_col, pa.int64()),
+            "doc_id": pa.array(id_col, pa.int64()),
+        }
+    )
+
+
+def _sig_prescreen(threshold: float, margin: float | None):
+    """Pair pre-filter over packed signatures: (1) the PROVABLY SOUND
+    size-ratio bound J(A,B) <= min(|A|,|B|)/max(|A|,|B|) — a pair of
+    very different shingle counts cannot reach the threshold; (2) the
+    minhash match-fraction estimate with a conservative margin
+    (P[est < J - 0.25 | J >= 0.7] ~ 5e-6 per pair at 64 perms — the
+    tail is documented, margin=None disables the probabilistic cut and
+    leaves only the sound bound). Returns 1.0 (keep) / 0.0 (drop)."""
+
+    def f(ba: bytes, bb: bytes) -> float:
+        na = int.from_bytes(ba[:4], "big")
+        nb = int.from_bytes(bb[:4], "big")
+        if min(na, nb) < threshold * max(na, nb):
+            return 0.0
+        if margin is not None:
+            mha = np.frombuffer(ba[4:], np.int64)
+            mhb = np.frombuffer(bb[4:], np.int64)
+            if (mha == mhb).mean() < threshold - margin:
+                return 0.0
+        return 1.0
+
+    return f
+
+
 _MAX_LSH_BUCKET = 512
 
 
@@ -605,18 +666,41 @@ def _word_jaccard(sa: str, sb: str, k: int = 3) -> float:
     return len(xa & xb) / max(1, len(xa | xb))
 
 
-def dedup_minhash(sf_dir: str, threshold: float = 0.7):
+def dedup_minhash(sf_dir: str, threshold: float = 0.7,
+                  prefilter: bool = True, prefilter_margin: float = 0.25):
     """MinHash+LSH near-dup: shingle → 64-perm minhash → 8-band LSH →
     bucket groupby → candidate pairs (star-capped, _bucket_pairs) →
-    exact-Jaccard verify via the co-partitioned text join
-    (_verify_pairs_copart — the corpus is never broadcast or
+    SIGNATURE pre-filter → exact-Jaccard verify via the co-partitioned
+    text join (_verify_pairs_copart — the corpus is never broadcast or
     driver-materialized) → verified pairs (doc_a, doc_b, jaccard).
-    Rows-only. Only all-to-alls: the narrow (band, hash, doc_id)
-    table, the pair/text join, and the pair-bucket groupby."""
+    Rows-only.
+
+    Shuffle-byte diet (r5): candidate pairs are first verified against
+    the 516-byte PACKED SIGNATURES (shingle count + 64-perm minhash,
+    computed once in _min_sigs and reused for banding), so full doc
+    text is pulled ONLY for pairs surviving the size-ratio bound
+    (provably sound) and the minhash-estimate cut (margin-conservative,
+    see _sig_prescreen). prefilter=False restores the single-pass text
+    verify — the byte-measurement baseline.
+
+    The signature table is MATERIALIZED once (the cached-invariant
+    move): it is consumed twice (banding + pre-filter payload) and a
+    lazy lineage would re-run the heavy shingling pass; at 516 B/doc
+    the pin is ~0.5 TB per 10^9 docs — object-store-spillable, far
+    smaller than re-shuffling full text for every candidate."""
     docs = _docs(sf_dir, ["doc_id", "text"])
-    bands = docs.map_batches(_minhash_bands, batch_format="pyarrow")
-    pairs = _lsh_candidate_pairs(bands)
-    return _verify_pairs_copart(pairs, docs, _word_jaccard, threshold)
+    if not prefilter:
+        bands = docs.map_batches(_minhash_bands, batch_format="pyarrow")
+        pairs = _lsh_candidate_pairs(bands)
+        return _verify_pairs_copart(pairs, docs, _word_jaccard, threshold)
+    sigs = docs.map_batches(_min_sigs, batch_format="pyarrow").materialize()
+    bands = sigs.map_batches(_bands_of_sigs, batch_format="pyarrow")
+    cands = _lsh_candidate_pairs(bands)
+    survivors = _verify_pairs_copart(
+        cands, sigs, _sig_prescreen(threshold, prefilter_margin),
+        threshold=0.5, payload_col="sig", value_name="_pre",
+    ).select_columns(["doc_a", "doc_b"])
+    return _verify_pairs_copart(survivors, docs, _word_jaccard, threshold)
 
 
 _SIM_SHIFTS = np.arange(64, dtype=np.uint64)
