@@ -254,6 +254,19 @@ def main() -> None:
             capture_output=True, text=True, check=True, cwd=cwd,
         ).stdout
         runs.append(json.loads(out.strip().splitlines()[-1]))
+    # Multi-round politeness regime (BASELINE.md secondary): budget-
+    # bound mega-host draining across 6 BSP rounds exercises the
+    # scheduling path (frontier carry-over, per-host budgets, seen
+    # growth) that the single-bulk-round headline does not. Recorded
+    # so round-over-round regressions in scheduling are machine-
+    # visible (VERDICT r4 item 7), not prose-only.
+    mr_out = subprocess.run(
+        [sys.executable, "bench.py"],
+        env=dict(base_env, BENCH_BUDGET="4000", BENCH_ROUNDS="6",
+                 BENCH_PAGES="400000"),
+        capture_output=True, text=True, check=True, cwd=cwd,
+    ).stdout
+    mr = json.loads(mr_out.strip().splitlines()[-1])
     med = {
         "crawl_sec": statistics.median(r["value"] for r in runs),
         "urls_per_sec": statistics.median(r["urls_per_sec"] for r in runs),
@@ -271,6 +284,10 @@ def main() -> None:
         extra={
             "repeats": repeats,
             "all_crawl_rates": [r["urls_per_sec"] for r in runs],
+            "multi_round_urls_per_sec": mr["urls_per_sec"],
+            "multi_round_sec": mr["value"],
+            "multi_round_rounds": mr["crawl_rounds"],
+            "multi_round_scheduled": mr["crawl_scheduled"],
         },
     )
 
