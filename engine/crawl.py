@@ -1327,6 +1327,17 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
                 )
             prof.mark("join_fetch")
 
+        # launch the seen checkpoint NOW (§4.3): the round's seen adds
+        # are final once the fetch pipeline materialized (both
+        # branches run the seen filter inside that single pass), so
+        # the K actor-side shard writes overlap the frontier phase
+        # below; the commit point (ray.get before MANIFEST) is
+        # unchanged. Was: serial driver-side serialize_all + writes
+        # after the frontier write (~0.22 s/round at 800k/32).
+        sdir = out / "seen" / f"round={rnd + 1}"
+        sdir.mkdir(parents=True, exist_ok=True)
+        seen_ckpt_refs = pool.checkpoint_all(str(sdir))
+
         # 4. link discovery → fresh frontier (A8,A11,A6,A10,A25,A21).
         # Order: local dedup (inside _links_to_frontier) → seen filter
         # (drops everything discovered in prior rounds) → global dedup
@@ -1394,11 +1405,9 @@ def run_crawl(pages_ds, crawl: CrawlConfig, out_dir: str,
         n_deferred = gated_count - n_sched
         new_links = n_next - n_deferred
 
-        # 5. checkpoint seen + lineage, then commit MANIFEST (§4.3)
-        sdir = out / "seen" / f"round={rnd + 1}"
-        sdir.mkdir(parents=True, exist_ok=True)
-        for s, blob in enumerate(pool.serialize_all()):
-            (sdir / f"shard={s}.bin").write_bytes(blob)
+        # 5. wait for the seen checkpoint launched before phase 4,
+        # then lineage + MANIFEST commit (§4.3)
+        ray.get(seen_ckpt_refs)
         prof.mark("seen_ckpt")
         res.total_scheduled += n_sched
         res.total_fetched += n_fetched

@@ -199,6 +199,18 @@ class SeenShard:
             raise RuntimeError("keys_snapshot only on exact shards")
         return list(self._d.keys())
 
+    def checkpoint(self, path: str) -> int:
+        """serialize() straight to `path` from inside the actor: the K
+        shards pickle AND write in parallel and nothing ships to the
+        driver (same shared-storage assumption as the task-written
+        archive/trace parquet). Returns bytes written. Crash-safety is
+        the caller's MANIFEST ordering, as with the old driver-side
+        write."""
+        blob = self.serialize()
+        with open(path, "wb") as f:
+            f.write(blob)
+        return len(blob)
+
 
 class SeenPool:
     """Driver-side handle bundle for K SeenShard actors."""
@@ -270,6 +282,18 @@ class SeenPool:
         import ray
 
         return ray.get([a.serialize.remote() for a in self.actors])
+
+    def checkpoint_all(self, dir_path: str) -> list:
+        """Launch actor-side checkpoint writes (`shard={s}.bin` under
+        dir_path) and return the object refs WITHOUT waiting — the
+        round loop overlaps them with the frontier phase and ray.get()s
+        them at its commit point, just before the MANIFEST write."""
+        import os
+
+        return [
+            a.checkpoint.remote(os.path.join(dir_path, f"shard={s}.bin"))
+            for s, a in enumerate(self.actors)
+        ]
 
     def load_all(self, blobs: list[bytes]) -> None:
         import ray
