@@ -89,8 +89,15 @@ def _bench_once(num_cpus: int, sf_dir: str, crawl_only: bool,
         n_hosts=n_hosts, n_pages=n_pages, links_per_page=8,
         body_words=int(os.environ.get("BENCH_BODY_WORDS", "40")),
     )
-    # generate + pin the synthetic web once (setup, untimed)
-    pages = pages_dataset(cfg, parallelism=num_cpus * 2).materialize()
+    # generate + pin the synthetic web once (setup, untimed). The
+    # block layout is FIXED (64 blocks) regardless of num_cpus: the
+    # scaling protocol compares levels on the SAME input, and a
+    # num_cpus-derived parallelism hands the 2-CPU level 300 MB blocks
+    # while the 32-CPU level gets 19 MB ones — a layout asymmetry that
+    # contaminates the ratio (observed: superlinear 2v8 "efficiency").
+    pages = pages_dataset(
+        cfg, parallelism=int(os.environ.get("BENCH_INPUT_BLOCKS", "64"))
+    ).materialize()
 
     # Seed the FULL page set: the metric is frontier-schedule+fetch+
     # parse throughput at a LARGE frontier (BASELINE.json:2), not BFS
@@ -154,10 +161,19 @@ def _bench_once(num_cpus: int, sf_dir: str, crawl_only: bool,
 
 def _scaling(sf_dir: str) -> None:
     """BASELINE.md protocol: 3 repeats per level in FRESH processes,
-    alternating order (32,8,32,8,32,8) to balance page-cache state;
-    median rate per level; efficiency = (rate32/rate8)/4."""
+    alternating order (hi,lo,hi,lo,hi,lo) to balance page-cache state;
+    median rate per level; efficiency = (rate_hi/rate_lo)/(hi/lo).
+
+    Levels default to 8 vs 32 (the headline N-vs-4N pair) and are
+    overridable via BENCH_SCALE_LEVELS="2,8" — the low pair is the
+    bandwidth-honest N-vs-4N evidence: at 2 and 8 CPUs this host can
+    actually supply 4x the resources at both levels, whereas the
+    32-CPU level is capped by intra-node memory bandwidth that a real
+    4N-node cluster does not share (BASELINE.md single-node caveat)."""
     import statistics
 
+    lo, hi = (int(x) for x in
+              os.environ.get("BENCH_SCALE_LEVELS", "8,32").split(","))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     # one small untimed warm-up run (worker spinup, page cache, JIT)
     subprocess.run(
@@ -167,10 +183,10 @@ def _scaling(sf_dir: str) -> None:
         capture_output=True, text=True, check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
-    rates: dict[int, list] = {8: [], 32: []}
-    times: dict[int, list] = {8: [], 32: []}
+    rates: dict[int, list] = {lo: [], hi: []}
+    times: dict[int, list] = {lo: [], hi: []}
     for _ in range(repeats):
-        for ncpu in (32, 8):
+        for ncpu in (hi, lo):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1",
                        BENCH_INNER="1")
             out = subprocess.run(
@@ -181,17 +197,18 @@ def _scaling(sf_dir: str) -> None:
             j = json.loads(out.strip().splitlines()[-1])
             rates[ncpu].append(j["urls_per_sec"])
             times[ncpu].append(j["value"])
-    r8, r32 = statistics.median(rates[8]), statistics.median(rates[32])
-    eff = (r32 / r8) / 4.0
+    r_lo, r_hi = statistics.median(rates[lo]), statistics.median(rates[hi])
+    eff = (r_hi / r_lo) / (hi / lo)
     print(
         json.dumps(
             {
-                "sec_8": statistics.median(times[8]),
-                "sec_32": statistics.median(times[32]),
-                "urls_per_sec_8": r8,
-                "urls_per_sec_32": r32,
-                "all_rates_8": rates[8],
-                "all_rates_32": rates[32],
+                f"sec_{lo}": statistics.median(times[lo]),
+                f"sec_{hi}": statistics.median(times[hi]),
+                f"urls_per_sec_{lo}": r_lo,
+                f"urls_per_sec_{hi}": r_hi,
+                f"all_rates_{lo}": rates[lo],
+                f"all_rates_{hi}": rates[hi],
+                "levels": [lo, hi],
                 "scaling_efficiency": round(eff, 3),
                 "repeats": repeats,
             }
