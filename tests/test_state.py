@@ -42,6 +42,33 @@ def test_seen_exact_serialize_roundtrip():
     assert set(s2.keys_snapshot()) == set(ks)
 
 
+def test_seen_pool_checkpoint_all_roundtrip(ray_session, tmp_path):
+    """r5: checkpoint_all writes shard={s}.bin ACTOR-SIDE (launched
+    refs, driver waits at its commit point); the files must load back
+    to the exact same membership via load_all — the resume path's
+    contract (engine/crawl.py reads these bins on resume=True)."""
+    import ray
+
+    from engine.seen import SeenPool
+
+    pool = SeenPool(3, mode="exact")
+    ks = _keys(200, 7)
+    pool.check_and_add(ks, 0)
+    refs = pool.checkpoint_all(str(tmp_path))
+    ray.get(refs)  # the commit point
+    files = sorted(p.name for p in tmp_path.iterdir())
+    assert files == [f"shard={s}.bin" for s in range(3)]
+
+    pool2 = SeenPool(3, mode="exact")
+    pool2.load_all([(tmp_path / f"shard={s}.bin").read_bytes()
+                    for s in range(3)])
+    # all keys already seen; membership identical to the source pool
+    assert not pool2.check_and_add(ks, 9).any()
+    assert pool2.all_keys() == pool.all_keys() == set(ks)
+    pool.shutdown()
+    pool2.shutdown()
+
+
 def test_seen_cuckoo_matches_exact_semantics():
     c = SeenShard("cuckoo", capacity=4096)
     e = SeenShard("exact")
