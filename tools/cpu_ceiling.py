@@ -40,20 +40,25 @@ def _throughput(procs: int) -> float:
 
 
 def main() -> None:
-    reps = {8: [], 32: []}
+    import sys
+
+    lo, hi = 8, 32
+    if len(sys.argv) > 1:  # e.g. `cpu_ceiling.py 2 8` for the low pair
+        lo, hi = int(sys.argv[1]), int(sys.argv[2])
+    reps = {lo: [], hi: []}
     for _ in range(2):
-        for p in (32, 8):
+        for p in (hi, lo):
             reps[p].append(_throughput(p))
-    t8 = statistics.median(reps[8])
-    t32 = statistics.median(reps[32])
+    t_lo = statistics.median(reps[lo])
+    t_hi = statistics.median(reps[hi])
     print(
         json.dumps(
             {
-                "thr_8": round(t8),
-                "thr_32": round(t32),
-                "ceiling": round((t32 / t8) / 4.0, 3),
-                "all_8": [round(x) for x in reps[8]],
-                "all_32": [round(x) for x in reps[32]],
+                f"thr_{lo}": round(t_lo),
+                f"thr_{hi}": round(t_hi),
+                "ceiling": round((t_hi / t_lo) / (hi / lo), 3),
+                f"all_{lo}": [round(x) for x in reps[lo]],
+                f"all_{hi}": [round(x) for x in reps[hi]],
             }
         )
     )
