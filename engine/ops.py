@@ -94,15 +94,26 @@ def agg_global(sf_dir: str):
     ds = _t(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
 
     def pre(t: pa.Table) -> pa.Table:
+        # per-block COMBINER: one partial row per block, so the Ray
+        # Aggregate operator reduces #blocks rows, not #input rows
+        # (its per-block sort-combine costs ~170 ms per 9k-row block;
+        # pyarrow sums here cost ~1 ms — measured via stats_audit)
         return pa.table(
-            {"qty_c": _cents(t["l_quantity"], 100.0),
-             "price_c": _cents(t["l_extendedprice"], 100.0)}
+            {
+                "qty_c": pa.array(
+                    [pc.sum(_cents(t["l_quantity"], 100.0)).as_py() or 0],
+                    pa.int64()),
+                "price_c": pa.array(
+                    [pc.sum(_cents(t["l_extendedprice"], 100.0)).as_py() or 0],
+                    pa.int64()),
+                "n_part": pa.array([t.num_rows], pa.int64()),
+            }
         )
 
     out = ds.map_batches(pre, batch_format="pyarrow").aggregate(
         Sum("qty_c", alias_name="qty_c"),
         Sum("price_c", alias_name="price_c"),
-        Count(alias_name="n"),
+        Sum("n_part", alias_name="n"),
     )
     n = out["n"]
     return pa.table(
@@ -123,18 +134,35 @@ def groupby_agg(sf_dir: str):
 
     def pre(t: pa.Table) -> pa.Table:
         # exact fixed-point (see _cents): qty/price in "cents",
-        # disc_price = price_c * (10000 - disc_bp) at scale 1e6
+        # disc_price = price_c * (10000 - disc_bp) at scale 1e6 —
+        # then a per-block COMBINER (arrow group_by): ≤|groups| rows
+        # leave each block, so the Ray Aggregate reduces
+        # blocks×groups partials instead of every input row (its
+        # per-block combine measured ~170 ms per 9k-row block)
         qty_c = _cents(t["l_quantity"], 100.0)
         price_c = _cents(t["l_extendedprice"], 100.0)
         disc_bp = _cents(t["l_discount"], 10000.0)
         disc_m = pc.multiply(price_c, pc.subtract(pa.scalar(10000, pa.int64()), disc_bp))
-        return pa.table(
+        part = pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
                 "qty_c": qty_c,
                 "price_c": price_c,
                 "disc_m": disc_m,
+            }
+        ).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("disc_m", "sum"),
+             ("qty_c", "count")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": part["l_returnflag"],
+                "l_linestatus": part["l_linestatus"],
+                "qty_c": part["qty_c_sum"],
+                "price_c": part["price_c_sum"],
+                "disc_m": part["disc_m_sum"],
+                "n_part": pc.cast(part["qty_c_count"], pa.int64()),
             }
         )
 
@@ -161,7 +189,7 @@ def groupby_agg(sf_dir: str):
             Sum("qty_c", alias_name="qty_c"),
             Sum("price_c", alias_name="price_c"),
             Sum("disc_m", alias_name="disc_m"),
-            Count(alias_name="count_order"),
+            Sum("n_part", alias_name="count_order"),
         )
         .sort(["l_returnflag", "l_linestatus"])
         .map_batches(post, batch_format="pyarrow")
