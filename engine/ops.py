@@ -374,12 +374,21 @@ def json_extract(sf_dir: str):
                 ks.append(int(json.loads(s)["k"]))
             except Exception:
                 ks.append(None)
-        return pa.table({"k": pa.array(ks, pa.int64())})
+        # per-block combiner: ≤|distinct k| partial rows leave the
+        # block (incl. a null-k row — arrow group_by keeps null keys,
+        # matching the former Ray Count-over-groupby semantics)
+        g = (
+            pa.table({"k": pa.array(ks, pa.int64()),
+                      "one": pa.array([1] * len(ks), pa.int64())})
+            .group_by("k")
+            .aggregate([("one", "sum")])
+        )
+        return pa.table({"k": g["k"], "n": g["one_sum"]})
 
     return (
         ds.map_batches(parse, batch_format="pyarrow")
         .groupby("k")
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
         .sort("k")
     )
 
@@ -392,10 +401,20 @@ def date_math(sf_dir: str):
 
     def trunc(t: pa.Table) -> pa.Table:
         # value at exact 1e-6 fixed point (see _cents) so the sum is
-        # order-independent and oracle-exact
+        # order-independent and oracle-exact; combined per block so
+        # the shuffle carries ≤|hours| partials per block
+        g = (
+            pa.table(
+                {"hour": pc.floor_temporal(t["ts"], unit="hour"),
+                 "value_u": _cents(t["value"], 1000000.0),
+                 "one": pa.array(np.ones(t.num_rows, np.int64))}
+            )
+            .group_by("hour")
+            .aggregate([("value_u", "sum"), ("one", "sum")])  # COUNT(*)
+        )
         return pa.table(
-            {"hour": pc.floor_temporal(t["ts"], unit="hour"),
-             "value_u": _cents(t["value"], 1000000.0)}
+            {"hour": g["hour"], "value_u": g["value_u_sum"],
+             "n": g["one_sum"]}
         )
 
     def post(t: pa.Table) -> pa.Table:
@@ -410,7 +429,7 @@ def date_math(sf_dir: str):
     return (
         ds.map_batches(trunc, batch_format="pyarrow")
         .groupby("hour")
-        .aggregate(Count(alias_name="n"), Sum("value_u", alias_name="value_u"))
+        .aggregate(Sum("n", alias_name="n"), Sum("value_u", alias_name="value_u"))
         .sort("hour")
         .map_batches(post, batch_format="pyarrow")
     )
@@ -539,11 +558,23 @@ def vector_topk(sf_dir: str, k: int = 10):
 # --------------------------------------------------------------- A27
 def topk_groups(sf_dir: str, k: int = 5):
     """Top-k groups by count (the crawl's biggest-hosts / skew-stats
-    shape, SURVEY.md A27) over documents.source."""
+    shape, SURVEY.md A27) over documents.source — per-block arrow
+    combiner, then a |sources|-cardinality groupby-sum."""
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"source": t["source"],
+                      "one": pa.array(np.ones(t.num_rows, np.int64))})
+            .group_by("source")
+            .aggregate([("one", "sum")])
+        )
+        return pa.table({"source": g["source"], "n": g["one_sum"]})
+
     return (
         _t(sf_dir, "documents", ["source"])
+        .map_batches(pre, batch_format="pyarrow")
         .groupby("source")
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
         .sort(["n", "source"], descending=[True, False])
         .limit(k)
     )
@@ -820,6 +851,41 @@ def pivot_events(sf_dir: str):
     )
 
 
+def _flag_status_detail(ds) -> "pd.DataFrame":
+    """Detailed (l_returnflag, l_linestatus) fixed-point sum_qty +
+    COUNT(*) with a per-block arrow combiner (see groupby_agg — Ray's
+    Aggregate per-block combine measured ~170 ms per 9k-row block vs
+    ~1 ms for arrow group_by), reduced by a key-cardinality groupby.
+    Shared by rollup_agg / cube_agg; the returned pandas frame is
+    bounded by flags×statuses, not data size."""
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "l_linestatus": t["l_linestatus"],
+                    "qty_c": _cents(t["l_quantity"], 100.0),
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("qty_c", "sum"), ("one", "sum")])
+        )
+        return pa.table(
+            {"l_returnflag": g["l_returnflag"],
+             "l_linestatus": g["l_linestatus"],
+             "qty_c": g["qty_c_sum"], "n": g["one_sum"]}
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty_c", alias_name="qty_c"), Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by group-key cardinality, not data size
+    )
+
+
 # ------------------------------------------------------------ rollup
 def rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus) — sum_qty + count at
@@ -831,22 +897,7 @@ def rollup_agg(sf_dir: str):
     use the 'ALL' sentinel on both sides (no NULL-vs-NaN hash
     ambiguity in the driver compare)."""
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
-
-    def pre(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "qty_c": _cents(t["l_quantity"], 100.0),
-            }
-        )
-
-    detailed = (
-        ds.map_batches(pre, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("qty_c", alias_name="qty_c"), Count(alias_name="n"))
-        .to_pandas()  # bounded by group-key cardinality, not data size
-    )
+    detailed = _flag_status_detail(ds)
     lvl1 = (
         detailed.groupby("l_returnflag", as_index=False)[["qty_c", "n"]]
         .sum()
@@ -993,7 +1044,19 @@ def stratified_sample(sf_dir: str):
     import ray
 
     docs = _t(sf_dir, "documents", ["doc_id", "lang"])
-    cnt = docs.groupby("lang").aggregate(Count(alias_name="c")).to_pandas()
+
+    def _lang_part(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"lang": t["lang"],
+                      "one": pa.array(np.ones(t.num_rows, np.int64))})
+            .group_by("lang").aggregate([("one", "sum")])
+        )
+        return pa.table({"lang": g["lang"], "c": g["one_sum"]})
+
+    cnt = (
+        docs.map_batches(_lang_part, batch_format="pyarrow")
+        .groupby("lang").aggregate(Sum("c", alias_name="c")).to_pandas()
+    )
     total = int(cnt["c"].sum())
     cap = total // len(cnt)
     thr = {
@@ -1019,26 +1082,36 @@ def tumbling_window(sf_dir: str):
     fixed 1-hour windows per event_type — count + exact fixed-point
     value sum per (type, window). The bucket is computed inside
     map_batches (pc.floor_temporal — vectorized, no shuffle), so the
-    only all-to-all is the final low-cardinality groupby; per-batch
-    partial aggregation is Ray's built-in combiner. The streaming
+    only all-to-all is the final low-cardinality groupby over explicit
+    per-block arrow-group_by partials. The streaming
     analogue holds at 100 TB: window assignment is a pure row
     function, so late/out-of-order events land in the right window
     regardless of arrival order."""
     ds = _t(sf_dir, "events", ["ts", "event_type", "value"])
 
     def pre(t: pa.Table) -> pa.Table:
+        # per-block combiner: ≤|type×window| partials per block
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+                    "vu": _cents(t["value"], 1_000_000.0),
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["event_type", "window_start"])
+            .aggregate([("vu", "sum"), ("one", "sum")])  # COUNT(*)
+        )
         return pa.table(
-            {
-                "event_type": t["event_type"],
-                "window_start": pc.floor_temporal(t["ts"], unit="hour"),
-                "vu": _cents(t["value"], 1_000_000.0),
-            }
+            {"event_type": g["event_type"], "window_start": g["window_start"],
+             "vu": g["vu_sum"], "n": g["one_sum"]}
         )
 
     return (
         ds.map_batches(pre, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("vu", alias_name="sum_value_fp"))
+        .aggregate(Sum("n", alias_name="n_events"), Sum("vu", alias_name="sum_value_fp"))
         .sort(["event_type", "window_start"])
     )
 
@@ -1078,30 +1151,37 @@ def corr_stats(sf_dir: str):
     """Pearson correlation of l_quantity vs l_discount from EXACT
     integer partial sums (n, Σx, Σy, Σxy, Σx², Σy² over small
     fixed-point ints — qty ≤ 50, discount·100 ≤ 10, so every partial
-    fits int64 at any row count that fits a cluster). The six sums are
-    Ray's built-in partial+final Sum/Count combiners (one tiny
-    shuffle); the final r = (nΣxy−ΣxΣy)/(√(nΣx²−Σx²)·√(nΣy²−Σy²)) is
+    fits int64 at any row count that fits a cluster). The six sums
+    combine per block (one partial row each) and reduce in one tiny
+    aggregate; the final r = (nΣxy−ΣxΣy)/(√(nΣx²−Σx²)·√(nΣy²−Σy²)) is
     one driver-side expression over exact ints, sequenced identically
     in the SQL oracle, so the double matches bit-exactly."""
     ds = _t(sf_dir, "lineitem", ["l_quantity", "l_discount"])
 
     def pre(t: pa.Table) -> pa.Table:
+        # per-block combiner: ONE partial row per block (see
+        # groupby_agg) — the six sums stay exact int64
         x = _cents(t["l_quantity"], 1.0)
         y = _cents(t["l_discount"], 100.0)
+
+        def s(a) -> int:
+            return pc.sum(a).as_py() or 0
+
         return pa.table(
             {
-                "x": x,
-                "y": y,
-                "xy": pc.multiply(x, y),
-                "xx": pc.multiply(x, x),
-                "yy": pc.multiply(y, y),
+                "x": pa.array([s(x)], pa.int64()),
+                "y": pa.array([s(y)], pa.int64()),
+                "xy": pa.array([s(pc.multiply(x, y))], pa.int64()),
+                "xx": pa.array([s(pc.multiply(x, x))], pa.int64()),
+                "yy": pa.array([s(pc.multiply(y, y))], pa.int64()),
+                "n_part": pa.array([t.num_rows], pa.int64()),
             }
         )
 
     o = ds.map_batches(pre, batch_format="pyarrow").aggregate(
         Sum("x", alias_name="sx"), Sum("y", alias_name="sy"),
         Sum("xy", alias_name="sxy"), Sum("xx", alias_name="sxx"),
-        Sum("yy", alias_name="syy"), Count(alias_name="n"),
+        Sum("yy", alias_name="syy"), Sum("n_part", alias_name="n"),
     )
     import math
 
@@ -1156,11 +1236,11 @@ def groupby_salted(sf_dir: str, n_salts: int = 16):
     one worker. Phase 1 groups by (key, salt) with salt =
     row-hash % n_salts computed vectorized in map_batches (spreads
     each hot key over n_salts reducers); phase 2 re-groups the
-    n_keys×n_salts partials by key. For built-in Sum/Count Ray
-    already combines per batch, so this operator documents and
-    preserves the pattern where it MATTERS: any map_groups-style
-    aggregate (exact medians, top-k lists) whose combiner is manual.
-    Result is identical to the unsalted groupby and oracle-checked."""
+    n_keys×n_salts partials by key. Partials combine per block with
+    an arrow group_by before the shuffle; the pattern matters most
+    for map_groups-style aggregates (exact medians, top-k lists)
+    whose combiner is manual. Result is identical to the unsalted
+    groupby and oracle-checked."""
     from engine.joins import _mix64
 
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_orderkey"])
@@ -1168,18 +1248,29 @@ def groupby_salted(sf_dir: str, n_salts: int = 16):
     def pre(t: pa.Table) -> pa.Table:
         k = t["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
         salt = _mix64(k.astype(np.int64).view(np.uint64)) % np.uint64(n_salts)
+        # per-block arrow combiner over (key, salt) — ≤ keys×salts
+        # partial rows leave each block
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "salt": pa.array(salt.astype(np.int32)),
+                    "qty_c": _cents(t["l_quantity"], 100.0),
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["l_returnflag", "salt"])
+            .aggregate([("qty_c", "sum"), ("one", "sum")])
+        )
         return pa.table(
-            {
-                "l_returnflag": t["l_returnflag"],
-                "salt": pa.array(salt.astype(np.int32)),
-                "qty_c": _cents(t["l_quantity"], 100.0),
-            }
+            {"l_returnflag": g["l_returnflag"], "salt": g["salt"],
+             "qty_c": g["qty_c_sum"], "n": g["one_sum"]}
         )
 
     partial = (
         ds.map_batches(pre, batch_format="pyarrow")
         .groupby(["l_returnflag", "salt"])
-        .aggregate(Sum("qty_c", alias_name="qty_c"), Count(alias_name="n"))
+        .aggregate(Sum("qty_c", alias_name="qty_c"), Sum("n", alias_name="n"))
     )
     return (
         partial.groupby("l_returnflag")
@@ -1209,22 +1300,7 @@ def cube_agg(sf_dir: str):
     derived from the key-cardinality-sized detailed aggregate on the
     driver; 'ALL' sentinel for rolled-up cells."""
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
-
-    def pre(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "qty_c": _cents(t["l_quantity"], 100.0),
-            }
-        )
-
-    detailed = (
-        ds.map_batches(pre, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("qty_c", alias_name="qty_c"), Count(alias_name="n"))
-        .to_pandas()  # bounded by group-key cardinality, not data size
-    )
+    detailed = _flag_status_detail(ds)
     by_flag = (
         detailed.groupby("l_returnflag", as_index=False)[["qty_c", "n"]]
         .sum()
@@ -1286,9 +1362,19 @@ def global_rank(sf_dir: str, n_tiles: int = 4, bin_width: float = 25000.0):
         )
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def _bin_part(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"bin": t["bin"],
+                      "one": pa.array(np.ones(t.num_rows, np.int64))})
+            .group_by("bin").aggregate([("one", "sum")])
+        )
+        return pa.table({"bin": g["bin"], "c": g["one_sum"]})
+
     per_bin = (
-        tagged.groupby("bin")
-        .aggregate(Count(alias_name="c"))
+        tagged.map_batches(_bin_part, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("c", alias_name="c"))
         .to_pandas()  # O(#bins), not data-sized
         .sort_values("bin")
     )
@@ -1547,7 +1633,11 @@ def intersect_distinct(sf_dir: str):
     both = semi_anti_bucketed(cust, supp, on="nationkey",
                               right_on="s_nationkey", keep_present=True)
     return (
-        both.groupby("nationkey")
+        both.map_batches(  # per-block unique: shuffle ≤|keys| per block
+            lambda t: pa.table({"nationkey": pc.unique(t["nationkey"])}),
+            batch_format="pyarrow",
+        )
+        .groupby("nationkey")
         .aggregate(Count(alias_name="__c"))
         .select_columns(["nationkey"])
         .sort("nationkey")
@@ -1573,7 +1663,11 @@ def except_distinct(sf_dir: str, big: float = 350000.0):
     never = semi_anti_bucketed(orderers, big_orderers, on="o_custkey",
                                keep_present=False)
     return (
-        never.groupby("o_custkey")
+        never.map_batches(  # per-block unique: shuffle ≤|keys| per block
+            lambda t: pa.table({"o_custkey": pc.unique(t["o_custkey"])}),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
         .aggregate(Count(alias_name="__c"))
         .select_columns(["o_custkey"])
         .sort("o_custkey")
