@@ -74,8 +74,12 @@ def _ckpt_resume(ckpt_dir: str | None, resume: bool, cfg: dict):
 
 
 def _nodes(edges, col: str):
+    # per-block unique: a node's incident edges cluster within blocks
+    # (pages emit their out-links together), so the distinct shuffle
+    # carries ≤|block-local nodes| rows instead of |edges|
     return edges.select_columns([col]).map_batches(
-        lambda t, c=col: pa.table({"node": t[c]}), batch_format="pyarrow"
+        lambda t, c=col: pa.table({"node": pc.unique(t[c])}),
+        batch_format="pyarrow",
     )
 
 
@@ -165,7 +169,20 @@ def pagerank(edges, n_iter: int = 3, damping_permille: int = 850,
     if edges.count() <= small_cutoff:
         return _pagerank_driver(edges, n_iter, damping_permille)
 
-    deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+    def _deg_part(t: pa.Table) -> pa.Table:
+        # per-block combiner: a page's out-edges sit in one block, so
+        # ≤|block-local srcs| partial rows enter the degree shuffle
+        g = (
+            pa.table({"src": t["src"],
+                      "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
+            .group_by("src").aggregate([("one", "sum")])
+        )
+        return pa.table({"src": g["src"], "deg": g["one_sum"]})
+
+    deg = (
+        edges.map_batches(_deg_part, batch_format="pyarrow")
+        .groupby("src").aggregate(Sum("deg", alias_name="deg"))
+    )
     # Loop-invariant datasets are MATERIALIZED once (the cached-
     # adjacency move of every BSP PageRank): every per-iteration
     # reference to a lazy edges_deg would re-embed the degree join —
@@ -340,7 +357,12 @@ def degree_stats(edges):
         zero = pa.array([0] * n, pa.int64())
         out_rows = pa.table({"node": t["src"], "o": one, "i": zero})
         in_rows = pa.table({"node": t["dst"], "o": zero, "i": one})
-        return pa.concat_tables([out_rows, in_rows])
+        # per-block combiner: ≤|block-local nodes| partials shuffle
+        g = (
+            pa.concat_tables([out_rows, in_rows])
+            .group_by("node").aggregate([("o", "sum"), ("i", "sum")])
+        )
+        return pa.table({"node": g["node"], "o": g["o_sum"], "i": g["i_sum"]})
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table(
