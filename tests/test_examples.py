@@ -94,3 +94,27 @@ def test_forum_selector_scrape_records(ray_session, tmp_path):
                          f"post {p} of thread {t}"))
     got = list(map(tuple, tbl[["url", "title", "author", "post"]].values))
     assert got == want
+
+
+def test_crawl_to_training_data_composed(ray_session, tmp_path):
+    """The composed crawl → corpus → training-data chain (VERDICT r4,
+    'what's missing' item 4): crawl output feeds the prep pipeline as
+    a Dataset — no re-read of sf_dir, no driver-side id set. Counts
+    pinned (the crawl and every prep stage are deterministic)."""
+    import pyarrow.dataset as pads
+
+    from crawl_to_training_data import crawl_to_training_data
+
+    crawl_out = str(tmp_path / "crawl")
+    packed, res = crawl_to_training_data(SF, crawl_out)
+    out = str(tmp_path / "packed")
+    packed.write_parquet(out)
+
+    assert res.total_fetched == 596
+    d = pads.dataset(out)
+    tbl = d.to_table()
+    assert tbl.num_rows == 442
+    schema = {f.name: f.type for f in d.schema}
+    assert schema["doc_id"] == pa.int64()
+    assert {"doc_id", "n_tokens", "token_offset", "block_start",
+            "block_end"} <= set(schema)
