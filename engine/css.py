@@ -6,6 +6,10 @@ Supported grammar (the working subset a site scraper actually uses):
   compound:     tag, *, #id, .class, [attr], [attr=value] (value bare
                 or quoted), [attr^=v] [attr$=v] [attr*=v] [attr~=v]
                 [attr|=v], :first-child, :nth-child(An+B|n|odd|even),
+                :not(compound) (CSS3 scope: the argument is a compound
+                without its own parenthesized pseudo-class, so
+                :not(.ad), :not([rel=nofollow]), :not(:first-child)
+                compile; :not(:nth-child(2)) does not),
                 any combination (a.thread-title[rel=next]:nth-child(2))
   combinators:  descendant (whitespace), child (>), adjacent sibling
                 (+), general sibling (~)
@@ -130,14 +134,15 @@ class _Compound:
     """One compound selector: all conditions must hold on ONE element.
     Element record: (tag, id, classes, attrs, child_index)."""
 
-    __slots__ = ("tag", "id", "classes", "attrs", "nth")
+    __slots__ = ("tag", "id", "classes", "attrs", "nth", "nots")
 
-    def __init__(self, tag, id_, classes, attrs, nth):
+    def __init__(self, tag, id_, classes, attrs, nth, nots=()):
         self.tag = tag          # str | None (None = '*')
         self.id = id_           # str | None
         self.classes = classes  # frozenset[str]
         self.attrs = attrs      # tuple[(name, op, value|None), ...]
         self.nth = nth          # (a, b) | None  (:first-child = (0,1))
+        self.nots = nots        # tuple[_Compound, ...] (:not args)
 
     def matches(self, el) -> bool:
         tag, eid, classes, attrs, idx = el
@@ -173,6 +178,9 @@ class _Compound:
                     return False
         if self.nth is not None and not _nth_matches(*self.nth, idx):
             return False
+        for neg in self.nots:
+            if neg.matches(el):
+                return False
         return True
 
 
@@ -192,7 +200,9 @@ class CompiledSelector:
             c in ("+", "~") for _, combos in alternatives for c in combos
         )
         self.needs_index = self.needs_siblings or any(
-            s.nth is not None for steps, _ in alternatives for s in steps
+            s.nth is not None or any(n.nth is not None for n in s.nots)
+            for steps, _ in alternatives
+            for s in steps
         )
 
     def matches_path(self, stack, levels=None) -> bool:
@@ -256,6 +266,7 @@ def _parse_compound(s: str) -> _Compound:
     classes = set()
     attrs = []
     nth = None
+    nots: list[_Compound] = []
     pos = 0
     while pos < len(s):
         m = _TOKEN.match(s, pos)
@@ -282,13 +293,20 @@ def _parse_compound(s: str) -> _Compound:
                 if m.group("parg") is None:
                     raise ValueError(":nth-child requires an argument")
                 nth = _parse_nth(m.group("parg"))
+            elif name == "not":
+                if not m.group("parg") or not m.group("parg").strip():
+                    raise ValueError(":not requires an argument")
+                neg = _parse_compound(m.group("parg").strip())
+                if neg.nots:
+                    raise ValueError(":not cannot nest")
+                nots.append(neg)
             else:
                 # :last-child & friends need the parent CLOSED before
                 # the index is known — impossible at start-tag time in
                 # a single streaming pass; fail fast at compile.
                 raise ValueError(f"unsupported pseudo-class :{name}")
         pos = m.end()
-    return _Compound(tag, id_, frozenset(classes), tuple(attrs), nth)
+    return _Compound(tag, id_, frozenset(classes), tuple(attrs), nth, tuple(nots))
 
 
 def _split_alt(alt: str) -> list[str]:

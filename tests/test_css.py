@@ -424,3 +424,28 @@ def test_unsupported_pseudo_fails_fast():
         compile_selector("li:nth-child(x)")
     with _pt.raises(ValueError):
         compile_selector("li +")
+
+
+def test_not_pseudo_class():
+    html = (b'<ul><li class="ad">spam</li><li>one</li>'
+            b'<li class="x y">two</li></ul>'
+            b'<div><a href="/a" rel="nofollow">n</a><a href="/b">y</a></div>')
+    assert select_text(html, "li:not(.ad)") == ["one", "two"]
+    assert select_attr(html, "a:not([rel=nofollow])", "href") == ["/b"]
+    assert select_text(html, "li:not(:first-child)") == ["one", "two"]
+    # stacked negations AND a positional pseudo on the same compound
+    assert select_text(html, "ul > li:not(.ad):not(.y)") == ["one"]
+    assert select_text(html, "li:not(.ad):nth-child(3)") == ["two"]
+    # negated tag (CSS3 type selector inside :not)
+    assert select_text(html, "ul :not(li)") == []
+    # :not in a non-rightmost step
+    assert select_attr(html, "div:not(.ad) > a", "href") == ["/a", "/b"]
+
+
+def test_not_pseudo_fails_fast():
+    import pytest as _pt
+
+    for bad in (":not()", "li:not(:nth-child(2))", "li:not(:not(.x))",
+                "li:not(.a .b)"):
+        with _pt.raises(ValueError):
+            compile_selector(bad)
