@@ -6,6 +6,7 @@ Supported grammar (the working subset a site scraper actually uses):
   compound:     tag, *, #id, .class, [attr], [attr=value] (value bare
                 or quoted), [attr^=v] [attr$=v] [attr*=v] [attr~=v]
                 [attr|=v], :first-child, :nth-child(An+B|n|odd|even),
+                :first-of-type, :nth-of-type(An+B|n|odd|even),
                 :not(compound) (CSS3 scope: the argument is a compound
                 without its own parenthesized pseudo-class, so
                 :not(.ad), :not([rel=nofollow]), :not(:first-child)
@@ -17,8 +18,9 @@ Supported grammar (the working subset a site scraper actually uses):
 
 Matching is SAX-style over the same event stream the crawl's
 extractors use (stdlib HTMLParser events, engine/kernels.py:357+): an
-open-element stack carries (tag, id, classes, attrs, child-index) and
-each start tag is tested right-to-left against the compiled selector —
+open-element stack carries (tag, id, classes, attrs, child-index,
+type-index) and each start tag is tested right-to-left against the
+compiled selector —
 the rightmost compound against the element itself, ancestors scanned
 upward for descendant steps, the immediate parent pinned for child
 steps, PRECEDING siblings (records kept per open level) for +/~ steps.
@@ -132,20 +134,23 @@ def _nth_matches(a: int, b: int, i: int) -> bool:
 
 class _Compound:
     """One compound selector: all conditions must hold on ONE element.
-    Element record: (tag, id, classes, attrs, child_index)."""
+    Element record: (tag, id, classes, attrs, child_index,
+    type_index) — type_index is the 1-based position among same-tag
+    siblings (:nth-of-type)."""
 
-    __slots__ = ("tag", "id", "classes", "attrs", "nth", "nots")
+    __slots__ = ("tag", "id", "classes", "attrs", "nth", "nth_type", "nots")
 
-    def __init__(self, tag, id_, classes, attrs, nth, nots=()):
+    def __init__(self, tag, id_, classes, attrs, nth, nots=(), nth_type=None):
         self.tag = tag          # str | None (None = '*')
         self.id = id_           # str | None
         self.classes = classes  # frozenset[str]
         self.attrs = attrs      # tuple[(name, op, value|None), ...]
         self.nth = nth          # (a, b) | None  (:first-child = (0,1))
+        self.nth_type = nth_type  # (a, b) | None (:first-of-type = (0,1))
         self.nots = nots        # tuple[_Compound, ...] (:not args)
 
     def matches(self, el) -> bool:
-        tag, eid, classes, attrs, idx = el
+        tag, eid, classes, attrs, idx, tidx = el
         if self.tag is not None and tag != self.tag:
             return False
         if self.id is not None and eid != self.id:
@@ -178,6 +183,8 @@ class _Compound:
                     return False
         if self.nth is not None and not _nth_matches(*self.nth, idx):
             return False
+        if self.nth_type is not None and not _nth_matches(*self.nth_type, tidx):
+            return False
         for neg in self.nots:
             if neg.matches(el):
                 return False
@@ -200,7 +207,9 @@ class CompiledSelector:
             c in ("+", "~") for _, combos in alternatives for c in combos
         )
         self.needs_index = self.needs_siblings or any(
-            s.nth is not None or any(n.nth is not None for n in s.nots)
+            s.nth is not None or s.nth_type is not None
+            or any(n.nth is not None or n.nth_type is not None
+                   for n in s.nots)
             for steps, _ in alternatives
             for s in steps
         )
@@ -266,6 +275,7 @@ def _parse_compound(s: str) -> _Compound:
     classes = set()
     attrs = []
     nth = None
+    nth_type = None
     nots: list[_Compound] = []
     pos = 0
     while pos < len(s):
@@ -293,6 +303,14 @@ def _parse_compound(s: str) -> _Compound:
                 if m.group("parg") is None:
                     raise ValueError(":nth-child requires an argument")
                 nth = _parse_nth(m.group("parg"))
+            elif name == "first-of-type":
+                if m.group("parg") is not None:
+                    raise ValueError(":first-of-type takes no argument")
+                nth_type = (0, 1)
+            elif name == "nth-of-type":
+                if m.group("parg") is None:
+                    raise ValueError(":nth-of-type requires an argument")
+                nth_type = _parse_nth(m.group("parg"))
             elif name == "not":
                 if not m.group("parg") or not m.group("parg").strip():
                     raise ValueError(":not requires an argument")
@@ -306,7 +324,8 @@ def _parse_compound(s: str) -> _Compound:
                 # a single streaming pass; fail fast at compile.
                 raise ValueError(f"unsupported pseudo-class :{name}")
         pos = m.end()
-    return _Compound(tag, id_, frozenset(classes), tuple(attrs), nth, tuple(nots))
+    return _Compound(tag, id_, frozenset(classes), tuple(attrs), nth,
+                     tuple(nots), nth_type)
 
 
 def _split_alt(alt: str) -> list[str]:
@@ -369,13 +388,13 @@ def compile_selector(selector: str) -> CompiledSelector:
     return CompiledSelector(alternatives, selector)
 
 
-def _element_of(tag: str, attrs_list, idx: int) -> tuple:
+def _element_of(tag: str, attrs_list, idx: int, tidx: int) -> tuple:
     attrs = {}
     for k, v in attrs_list:
         if k not in attrs:  # first occurrence wins (browser behavior)
             attrs[k] = v if v is not None else ""
     classes = frozenset(attrs.get("class", "").split())
-    return (tag, attrs.get("id"), classes, attrs, idx)
+    return (tag, attrs.get("id"), classes, attrs, idx, tidx)
 
 
 class CssMatcher(HTMLParser):
@@ -395,6 +414,9 @@ class CssMatcher(HTMLParser):
         self._keep_sibs = compiled.needs_siblings
         self._levels: list[list] = [[]]
         self._counts: list[int] = [0]
+        # per-level tag -> count of same-tag siblings so far (the
+        # 1-based :nth-of-type index) — O(depth × distinct tags/level)
+        self._type_counts: list[dict] = [{}]
         self._skip_text = 0  # >0 while inside script/style/template
         # active captures: (depth, tag, attrs, [text parts])
         self._open: list[list] = []
@@ -409,6 +431,7 @@ class CssMatcher(HTMLParser):
         if len(self._levels) > depth:
             self._levels.pop()
             self._counts.pop()
+            self._type_counts.pop()
         if t in _SKIP_TEXT_TAGS and self._skip_text:
             self._skip_text -= 1
         while self._open and self._open[-1][0] >= depth:
@@ -432,13 +455,16 @@ class CssMatcher(HTMLParser):
     def _start(self, tag: str, attrs_list, self_closing: bool) -> None:
         self._implied_close(tag)
         self._counts[-1] += 1
-        el = _element_of(tag, attrs_list, self._counts[-1])
+        tc = self._type_counts[-1]
+        tc[tag] = tc.get(tag, 0) + 1
+        el = _element_of(tag, attrs_list, self._counts[-1], tc[tag])
         if self._keep_sibs:
             self._levels[-1].append(el)
         self._stack.append(el)
         self._tags.append(tag)
         self._levels.append([])
         self._counts.append(0)
+        self._type_counts.append({})
         if tag in _SKIP_TEXT_TAGS:
             self._skip_text += 1
         if self._sel.matches_path(

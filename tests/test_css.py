@@ -449,3 +449,21 @@ def test_not_pseudo_fails_fast():
                 "li:not(.a .b)"):
         with _pt.raises(ValueError):
             compile_selector(bad)
+
+
+def test_nth_of_type():
+    rows = b"<table><tr><td>a<td>b<tr><td>c<td>d<tr><td>e</table>"
+    assert select_text(rows, "tr:nth-of-type(odd) td") == ["a", "b", "e"]
+    mixed = (b"<div><h2>t</h2><p>one</p><span>x</span>"
+             b"<p>two</p><p>three</p></div>")
+    # the first <p> is the SECOND child — of-type vs child indexing
+    assert select_text(mixed, "p:first-of-type") == ["one"]
+    assert select_text(mixed, "p:first-child") == []
+    assert select_text(mixed, "p:nth-of-type(2)") == ["two"]
+    assert select_text(mixed, "p:not(:first-of-type)") == ["two", "three"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        compile_selector("p:first-of-type(1)")
+    with _pt.raises(ValueError):
+        compile_selector("p:nth-of-type")
