@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quartet, r4-new ops, and single-shuffle stalwarts):
         "asof_join": ops.asof_join,
         "jsonl_roundtrip": ops.jsonl_roundtrip,
+        "jsonl_gz_roundtrip": ops.jsonl_gz_roundtrip,
         "csv_roundtrip": ops.csv_roundtrip,
         "text_roundtrip": ops.text_roundtrip,
         "ann_topk_full": textops.ann_topk_full,
@@ -675,6 +676,13 @@ def oracle_sql() -> dict[str, str]:
         # in DuckDB and lands float64 in the comparison frame — CAST
         # back to BIGINT to match Ray's int64 Sum exactly.
         "jsonl_roundtrip": (
+            "SELECT lang, COUNT(*) AS n, "
+            "CAST(SUM(doc_id) AS BIGINT) AS sum_ids "
+            "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        # identical oracle to jsonl_roundtrip: the gz variant writes
+        # the same rows through gzip-compressed .jsonl.gz parts
+        "jsonl_gz_roundtrip": (
             "SELECT lang, COUNT(*) AS n, "
             "CAST(SUM(doc_id) AS BIGINT) AS sum_ids "
             "FROM documents GROUP BY 1 ORDER BY 1"

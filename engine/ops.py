@@ -1522,6 +1522,57 @@ def jsonl_roundtrip(sf_dir: str):
     )
 
 
+def jsonl_gz_roundtrip(sf_dir: str):
+    """gzip-compressed JSONL sink + source parity — the .jsonl.gz
+    shape web-text corpora ship in: each input block is written as ONE
+    .jsonl.gz part by its own Ray map task (partitioned, resumable,
+    deterministically named by content hash), read back with
+    read_json(arrow_open_stream_args={'compression': 'gzip'}), and
+    aggregated against the same parquet-side oracle as
+    jsonl_roundtrip."""
+    import ray.data as rd
+
+    def write(d, o):
+        import gzip
+        import hashlib as H
+        import os as _os
+        import pathlib
+
+        def write_block(t: pa.Table) -> pa.Table:
+            import json
+
+            ids = t["doc_id"].to_pylist()
+            langs = t["lang"].to_pylist()
+            lines = "".join(
+                json.dumps({"doc_id": i, "lang": lg}, separators=(",", ":"))
+                + "\n"
+                for i, lg in zip(ids, langs)
+            ).encode()
+            tag = H.md5(lines).hexdigest()[:16]
+            path = pathlib.Path(o) / f"part-{tag}.jsonl.gz"
+            tmp = path.with_suffix(".tmp")
+            # mtime=0 pins the gzip header: retries rewrite identical bytes
+            with open(tmp, "wb") as f:
+                with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+                    gz.write(lines)
+            _os.replace(tmp, path)
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        d.map_batches(write_block, batch_format="pyarrow").materialize()
+
+    def read(o):
+        return rd.read_json(
+            o,
+            file_extensions=["gz"],
+            arrow_open_stream_args={"compression": "gzip"},
+        )
+
+    return _roundtrip(
+        _t(sf_dir, "documents", ["doc_id", "lang"]), write, read,
+        "lang", "doc_id",
+    )
+
+
 def csv_roundtrip(sf_dir: str):
     """CSV sink + source parity (same contract as jsonl_roundtrip)."""
     import ray.data as rd
