@@ -640,3 +640,18 @@ def test_graph_checkpoint_resume_bit_identical(ray_session, tmp_path):
                                            checkpoint_dir=ck2,
                                            resume=True).take_all()}
     assert got_c == want_c
+
+
+def test_dedup_minhash_prefilter_equivalence(ray_session):
+    """The signature pre-filter is a shuffle-byte diet, not a semantic
+    change: prefilter=True, =False and the size-gated default must
+    yield the identical verified pair set."""
+    from engine import textops
+
+    base = _sorted_df(textops.dedup_minhash(SF, prefilter=False),
+                      ["doc_a", "doc_b"])
+    pre = _sorted_df(textops.dedup_minhash(SF, prefilter=True),
+                     ["doc_a", "doc_b"])
+    auto = _sorted_df(textops.dedup_minhash(SF), ["doc_a", "doc_b"])
+    pd.testing.assert_frame_equal(base, pre)
+    pd.testing.assert_frame_equal(base, auto)
