@@ -46,16 +46,16 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordering matters: the driver records only the FIRST 50 entries
-    into CORRECTNESS_r{N}.json. 65 of the 75 entries are oracle-backed;
+    into CORRECTNESS_r{N}.json. 66 of the 76 entries are oracle-backed;
     the first 50 positions carry (a) the 15 ops whose last driver
     evidence was r01–r03 — recorded in r05 so every oracle-backed op
     has driver evidence within the last two rounds — and (b) the 35
     complex/shuffle-heavy ops that should stay recorded every round.
-    The 15 oracle-backed entries pushed past the cap were all
-    driver-green in CORRECTNESS_r04 (all 65 are additionally checked
-    by tools/self_correctness.py → CORRECTNESS_SELF.json and by
-    tests/test_queries.py); the 10 rows-only entries (no SQL oracle by
-    nature) come last."""
+    The 16 oracle-backed entries past the cap were all driver-green in
+    CORRECTNESS_r04 or are r5-new (jsonl_gz_roundtrip); all 66 are
+    additionally checked by tools/self_correctness.py →
+    CORRECTNESS_SELF.json and by tests/test_queries.py. The 10
+    rows-only entries (no SQL oracle by nature) come last."""
     from engine import ops, textops
 
     q: dict[str, Callable[[str], Any]] = {
