@@ -585,11 +585,16 @@ def _lsh_candidate_pairs(bands, n_rows_est: int | None = None):
     )
 
 
+_VERIFY_BROADCAST_MAX_PAIRS = 50_000
+_VERIFY_BROADCAST_MAX_BYTES = 128 << 20
+
+
 def _verify_pairs_copart(pairs_ds, docs, verify_fn, threshold: float,
                          num_partitions: int | None = None,
                          num_pair_buckets: int | None = None,
                          payload_col: str = "text",
-                         value_name: str = "jaccard"):
+                         value_name: str = "jaccard",
+                         broadcast_max_pairs: int = _VERIFY_BROADCAST_MAX_PAIRS):
     """Verify candidate pairs against the corpus WITHOUT broadcasting
     it: explode each (doc_a, doc_b) into two (pair, doc_id) rows, hash
     co-partition join payloads on doc_id (Dataset.join — both sides
@@ -601,8 +606,93 @@ def _verify_pairs_copart(pairs_ds, docs, verify_fn, threshold: float,
     globally per pair bucket (same pair always hashes to the same
     bucket). `docs` must expose (doc_id, <payload_col>); the payload
     is opaque to this machinery (text for the jaccard dedups,
-    embedding vectors for dedup_embedding)."""
+    embedding vectors for dedup_embedding).
+
+    Small-candidate fast path (bit-identical, equivalence-tested): the
+    candidate set is already materialized pair-bounded (star caps), so
+    when it holds ≤ broadcast_max_pairs pairs the two remaining
+    all-to-alls (payload join + pair-bucket groupby) are replaced by
+    the broadcast-small-side pattern — ONLY the involved payloads
+    (≤ 2×pairs docs, additionally guarded to ≤128 MB) are pulled and
+    ray.put once, and the verify runs as shuffle-free map tasks over
+    driver-sliced pair blocks. The corpus itself still never moves;
+    past either guard the fully distributed path below runs
+    unchanged."""
+    import ray as _ray
+    import ray.data as rd
+
     from engine.joins import _mix64
+
+    # pairs are star-cap-bounded; materializing them is O(pairs) in
+    # the object store (spillable) and is what the count gate needs
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs <= broadcast_max_pairs:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                value_name: pa.array([], pa.float64()),
+            }
+        )
+        if n_pairs == 0:
+            return rd.from_arrow(empty)
+        pairs_pd = pairs_ds.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        ids = pa.array(
+            np.unique(
+                np.concatenate(
+                    [
+                        pairs_pd["doc_a"].to_numpy(np.int64),
+                        pairs_pd["doc_b"].to_numpy(np.int64),
+                    ]
+                )
+            )
+        )
+
+        def keep(t: pa.Table) -> pa.Table:
+            return t.select(["doc_id", payload_col]).filter(
+                pc.is_in(t["doc_id"], value_set=ids)
+            )
+
+        sub = docs.map_batches(keep, batch_format="pyarrow").to_pandas()
+        payloads = dict(zip(sub["doc_id"], sub[payload_col]))
+        nbytes = sum(
+            len(v) if isinstance(v, (str, bytes)) else getattr(v, "nbytes", 64)
+            for v in payloads.values()
+        )
+        if nbytes <= _VERIFY_BROADCAST_MAX_BYTES:
+            ref = _ray.put(payloads)
+            pairs_tbl = pa.Table.from_pandas(
+                pairs_pd[["doc_a", "doc_b"]], preserve_index=False
+            )
+            step = max(256, -(-n_pairs // max(1, 2 * _conc()[1])))
+            chunks = [
+                pairs_tbl.slice(o, step)
+                for o in range(0, pairs_tbl.num_rows, step)
+            ]
+
+            def vb(t: pa.Table) -> pa.Table:
+                pl = _ray.get(ref)
+                ka, kb, vals = [], [], []
+                for xa, xb in zip(
+                    t["doc_a"].to_pylist(), t["doc_b"].to_pylist()
+                ):
+                    if xa not in pl or xb not in pl:
+                        continue
+                    v = verify_fn(pl[xa], pl[xb])
+                    if v >= threshold:
+                        ka.append(xa)
+                        kb.append(xb)
+                        vals.append(round(v, 4))
+                return pa.table(
+                    {
+                        "doc_a": pa.array(ka, pa.int64()),
+                        "doc_b": pa.array(kb, pa.int64()),
+                        value_name: pa.array(vals, pa.float64()),
+                    }
+                )
+
+            return rd.from_arrow(chunks).map_batches(vb, batch_format="pyarrow")
 
     if num_partitions is None:
         # join partition count scales with the cluster (a constant

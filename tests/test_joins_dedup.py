@@ -655,3 +655,21 @@ def test_dedup_minhash_prefilter_equivalence(ray_session):
     auto = _sorted_df(textops.dedup_minhash(SF), ["doc_a", "doc_b"])
     pd.testing.assert_frame_equal(base, pre)
     pd.testing.assert_frame_equal(base, auto)
+
+
+def test_verify_pairs_broadcast_path_equivalence(ray_session):
+    """The small-candidate broadcast verify (involved payloads ray.put
+    once, shuffle-free map verify) must equal the fully distributed
+    co-partitioned join path pair for pair."""
+    from engine import textops as T
+
+    docs = T._docs(SF, ["doc_id", "text"])
+    bands = docs.map_batches(T._minhash_bands, batch_format="pyarrow")
+    pairs = T._lsh_candidate_pairs(bands)
+    dist = _sorted_df(
+        T._verify_pairs_copart(pairs, docs, T._word_jaccard, 0.7,
+                               broadcast_max_pairs=0),
+        ["doc_a", "doc_b"])
+    bcast = _sorted_df(T.dedup_minhash(SF, prefilter=False),
+                       ["doc_a", "doc_b"])
+    pd.testing.assert_frame_equal(dist, bcast)
