@@ -46,13 +46,14 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordering matters: the driver records only the FIRST 50 entries
-    into CORRECTNESS_r{N}.json. 66 of the 76 entries are oracle-backed;
+    into CORRECTNESS_r{N}.json. 68 of the 78 entries are oracle-backed;
     the first 50 positions carry (a) the 15 ops whose last driver
     evidence was r01–r03 — recorded in r05 so every oracle-backed op
     has driver evidence within the last two rounds — and (b) the 35
     complex/shuffle-heavy ops that should stay recorded every round.
-    The 16 oracle-backed entries past the cap were all driver-green in
-    CORRECTNESS_r04 or are r5-new (jsonl_gz_roundtrip); all 66 are
+    The 18 oracle-backed entries past the cap were all driver-green in
+    CORRECTNESS_r04 or are r5-new (jsonl_gz_roundtrip, unigram_logprob,
+    knn_join); all 68 are
     additionally checked by tools/self_correctness.py →
     CORRECTNESS_SELF.json and by tests/test_queries.py. The 10
     rows-only entries (no SQL oracle by nature) come last."""
@@ -133,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_range": ops.join_range,
         "approx_distinct_hll": ops.approx_distinct_hll,
         "vector_topk": ops.vector_topk,
+        # r5-new oracle-backed ops (self-checked + test_queries):
+        "unigram_logprob": textops.unigram_logprob,
+        "knn_join": ops.knn_join,
         # rows-only (LSH / iterative / actor state — no SQL oracle;
         # locked by brute-force-oracle + golden tests instead):
         "doc_fingerprint": textops.doc_fingerprint,
@@ -293,6 +297,35 @@ def oracle_sql() -> dict[str, str]:
             "JOIN thr ON d.lang = thr.lang "
             "WHERE thr.h IS NULL OR "
             "substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.h"
+        ),
+        # k-NN join: query side = the first 5 corpus vectors (a
+        # deterministic construction both sides mint), same 6-dp
+        # fixed-point cosine contract as vector_topk, top-5 per query
+        "knn_join": (
+            "WITH q AS (SELECT vec_id AS query_id, "
+            "CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+            "WHERE vec_id < 5), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "CAST(ROUND(list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), q.qv) * 1000000) AS BIGINT) "
+            "/ 1000000.0 AS cosine FROM embeddings e CROSS JOIN q) "
+            "SELECT query_id, vec_id, cosine FROM (SELECT *, "
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, vec_id) AS rn FROM s) WHERE rn <= 5"
+        ),
+        # unigram LM surprisal: per-TERM fixed-point ln on the
+        # vocabulary-sized count table (identical float64 expression
+        # both sides), then pure-int64 per-doc sums
+        "unigram_logprob": (
+            "WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) "
+            "AS term FROM documents), "
+            "cf AS (SELECT term, COUNT(*) AS c FROM w GROUP BY 1), "
+            "tot AS (SELECT SUM(c) AS t FROM cf), "
+            "sp AS (SELECT term, CAST(ROUND(LN(CAST(t AS DOUBLE) / c) "
+            "* 1000000) AS BIGINT) AS s FROM cf CROSS JOIN tot) "
+            "SELECT w.doc_id, COUNT(*) AS n_tokens, "
+            "CAST(SUM(sp.s) AS BIGINT) AS surprisal_sum_fp "
+            "FROM w JOIN sp USING (term) GROUP BY w.doc_id"
         ),
         # probe = unnormalized arange(64): cosine is normalization-
         # invariant, and integer-valued double literals are exact, so

@@ -555,6 +555,93 @@ def vector_topk(sf_dir: str, k: int = 10):
     )
 
 
+def knn_join(sf_dir: str, n_queries: int = 5, k: int = 5):
+    """k-NN similarity JOIN: the top-k cosine neighbors for EACH of a
+    set of query vectors (the multi-probe generalization of
+    vector_topk — the building block of embedding retrieval and
+    near-dup candidate mining). The query side is the first n_queries
+    corpus vectors (deterministic, so the DuckDB oracle reproduces it
+    as a self-join); output one row per (query_id, neighbor), self
+    matches included.
+
+    Scale shape: the query matrix is the SMALL side — read once
+    driver-side (row-group-pruned predicate read), broadcast via
+    ray.put (Q x d floats); scoring is a stateless map_batches doing Q
+    vectorized matvecs per block with a per-(block, query) local
+    top-k, so only Q*k candidate rows per block reach the final
+    Q-sized groupby reduce — the corpus is never shuffled and its
+    embeddings never leave their blocks. Bit-exactness: the same
+    float64 + 6-dp fixed-point rounding contract as
+    cosine_fixed6_topk_batch, applied per query vector; final ranking
+    uses the rounded value on both sides, ties broken by vec_id."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from engine.util import cached_get
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    qt = qt.take(pc.sort_indices(qt["vec_id"]))
+    q_ref = ray.put(
+        (qt["vec_id"].to_pylist(),
+         np.asarray(qt["embedding"].to_pylist(), dtype=np.float64))
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        q_ids, qmat = cached_get(q_ref)
+        out_schema = pa.schema(
+            [("query_id", pa.int64()), ("vec_id", pa.int64()),
+             ("cosine", pa.float64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        outs = []
+        for qid, qv in zip(q_ids, qmat):
+            denom = norms * np.linalg.norm(qv)
+            denom[denom == 0] = 1.0
+            cos = (mat @ qv) / denom
+            cos_r = pc.divide(
+                pc.cast(
+                    pc.round(pc.multiply(pa.array(cos), 1e6),
+                             round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ).cast(pa.float64()),
+                1e6,
+            )
+            t2 = pa.table(
+                {
+                    "query_id": pa.array(
+                        np.full(t.num_rows, qid, dtype=np.int64)),
+                    "vec_id": t["vec_id"],
+                    "cosine": cos_r,
+                }
+            )
+            idx = pc.sort_indices(
+                t2,
+                sort_keys=[("cosine", "descending"), ("vec_id", "ascending")],
+            )
+            outs.append(t2.take(idx[:k]))
+        return pa.concat_tables(outs)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine", "vec_id"], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return (
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final, batch_format="pandas")
+        .select_columns(["query_id", "vec_id", "cosine"])
+    )
+
+
 # --------------------------------------------------------------- A27
 def topk_groups(sf_dir: str, k: int = 5):
     """Top-k groups by count (the crawl's biggest-hosts / skew-stats

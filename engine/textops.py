@@ -350,6 +350,85 @@ def tfidf_topk(sf_dir: str):
     return docs.map_batches(best, batch_format="pyarrow")
 
 
+def unigram_logprob(src):
+    """CCNet-style unigram LM quality score: per document, the total
+    surprisal of its tokens under the corpus's OWN unigram
+    distribution (low surprisal ~ common/fluent text, high ~ noise) —
+    the LM-perplexity quality gate of CCNet/Gopher-style pipelines,
+    batch-re-expressed. Output: (doc_id, n_tokens, surprisal_sum_fp);
+    mean surprisal = surprisal_sum_fp / n_tokens / 1e6 nats is left to
+    the consumer so every emitted value stays pure int64.
+
+    Exactness despite the logarithm: per-TERM surprisal is fixed-point
+    s(term) = round(ln(total_tokens / cf(term)) * 1e6), computed once
+    on the VOCABULARY-sized count table with the identical float64
+    expression on both sides (pc.ln == DuckDB LN == libm log;
+    half-away-from-zero round on a non-negative value), and each
+    document's score is the pure-int64 SUM(tf * s) — order-independent
+    — so the DuckDB oracle matches bit-exactly.
+
+    Scale shape (same as tfidf_topk): (1) per-batch token-Counter
+    pre-aggregation -> vocabulary-sized groupby-sum (bounded by
+    language, << corpus); (2) the term->surprisal dict is broadcast
+    once via ray.put; (3) a stateless map_batches scores each doc
+    locally — a document's tokens never leave its batch, so there is
+    no per-doc shuffle at any corpus size."""
+    import ray
+    from collections import Counter
+
+    docs = _docs(src, ["doc_id", "text"])
+
+    def cf_partial(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for s in t["text"].to_pylist():
+            cnt.update(s.split(" "))
+        items = sorted(cnt.items())
+        return pa.table(
+            {
+                "term": pa.array([w for w, _ in items], pa.string()),
+                "cf": pa.array([c for _, c in items], pa.int64()),
+            }
+        )
+
+    cf_tbl = (
+        docs.map_batches(cf_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cf", alias_name="cf"))
+        .to_pandas()  # vocabulary-sized
+    )
+    total = int(cf_tbl["cf"].sum())
+    # identical sequencing to the SQL: double(total)/double(cf) -> ln
+    # -> *1e6 -> round(half away from zero, matches DuckDB ROUND on
+    # the non-negative ln) -> int64
+    cf_f64 = pa.array(cf_tbl["cf"].to_numpy(), pa.float64())
+    s_fp = pc.cast(
+        pc.round(
+            pc.multiply(pc.ln(pc.divide(float(total), cf_f64)), 1e6),
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+    sp_ref = ray.put(dict(zip(cf_tbl["term"], s_fp.to_pylist())))
+
+    def score(t: pa.Table) -> pa.Table:
+        spd = cached_get(sp_ref)
+        ids, ns, sums = [], [], []
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = s.split(" ")
+            ids.append(i)
+            ns.append(len(ws))
+            sums.append(sum(tf * spd[w] for w, tf in Counter(ws).items()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ns, pa.int64()),
+                "surprisal_sum_fp": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 _PII_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
 _PII_PHONE_RE = re.compile(r"\b\d{3}-\d{4}\b")
 
