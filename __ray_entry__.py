@@ -46,14 +46,14 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordering matters: the driver records only the FIRST 50 entries
-    into CORRECTNESS_r{N}.json. 68 of the 78 entries are oracle-backed;
+    into CORRECTNESS_r{N}.json. 69 of the 79 entries are oracle-backed;
     the first 50 positions carry (a) the 15 ops whose last driver
     evidence was r01–r03 — recorded in r05 so every oracle-backed op
     has driver evidence within the last two rounds — and (b) the 35
     complex/shuffle-heavy ops that should stay recorded every round.
-    The 18 oracle-backed entries past the cap were all driver-green in
+    The 19 oracle-backed entries past the cap were all driver-green in
     CORRECTNESS_r04 or are r5-new (jsonl_gz_roundtrip, unigram_logprob,
-    knn_join); all 68 are
+    knn_join, dedup_incremental); all 69 are
     additionally checked by tools/self_correctness.py →
     CORRECTNESS_SELF.json and by tests/test_queries.py. The 10
     rows-only entries (no SQL oracle by nature) come last."""
@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r5-new oracle-backed ops (self-checked + test_queries):
         "unigram_logprob": textops.unigram_logprob,
         "knn_join": ops.knn_join,
+        "dedup_incremental": textops.dedup_incremental,
         # rows-only (LSH / iterative / actor state — no SQL oracle;
         # locked by brute-force-oracle + golden tests instead):
         "doc_fingerprint": textops.doc_fingerprint,
@@ -312,6 +313,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, vec_id, cosine FROM (SELECT *, "
             "row_number() OVER (PARTITION BY query_id "
             "ORDER BY cosine DESC, vec_id) AS rn FROM s) WHERE rn <= 5"
+        ),
+        # incremental snapshot dedup: odd doc_ids are the "new
+        # snapshot", even the "existing corpus"; keep new docs whose
+        # exact text is absent from the existing side (md5 keys on
+        # both sides, anti-join via the bucketed co-partition)
+        "dedup_incremental": (
+            "SELECT doc_id, md5(text) AS text_md5 FROM documents "
+            "WHERE doc_id % 2 = 1 AND md5(text) NOT IN "
+            "(SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)"
         ),
         # unigram LM surprisal: per-TERM fixed-point ln on the
         # vocabulary-sized count table (identical float64 expression

@@ -429,6 +429,43 @@ def unigram_logprob(src):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def dedup_incremental(src):
+    """Incremental snapshot dedup — the production dedup shape when a
+    NEW crawl snapshot lands next to an EXISTING corpus: keep only the
+    new documents whose exact text does not already exist in the
+    reference corpus. Here the two corpora are a deterministic split
+    of the documents table (doc_id % 2 == 0 is the existing corpus,
+    odd the new snapshot) so the DuckDB oracle reproduces the
+    construction; a real user swaps either side for
+    read_parquet(<snapshot dir>) unchanged.
+
+    Scale shape: each side gets an md5 text key in a stateless
+    map_batches (the text column is dropped right there), then
+    joins.semi_anti_bucketed performs the anti-join — ONE groupby
+    exchange over (new key rows + existing key rows) on the hashed
+    bucket; the existing corpus ships only its key column, never its
+    text, and nothing is broadcast or driver-materialized, so both
+    sides can be 100-TB tables."""
+    from engine.joins import semi_anti_bucketed
+
+    def side(parity: int):
+        docs = _docs(src, ["doc_id", "text"])
+
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), parity))
+            h = [hashlib.md5(x.encode()).hexdigest()
+                 for x in t["text"].to_pylist()]
+            return pa.table(
+                {"doc_id": t["doc_id"],
+                 "text_md5": pa.array(h, pa.string())}
+            )
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    return semi_anti_bucketed(side(1), side(0), on="text_md5",
+                              keep_present=False)
+
+
 _PII_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
 _PII_PHONE_RE = re.compile(r"\b\d{3}-\d{4}\b")
 
