@@ -46,14 +46,14 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordering matters: the driver records only the FIRST 50 entries
-    into CORRECTNESS_r{N}.json. 69 of the 79 entries are oracle-backed;
+    into CORRECTNESS_r{N}.json. 70 of the 80 entries are oracle-backed;
     the first 50 positions carry (a) the 15 ops whose last driver
     evidence was r01–r03 — recorded in r05 so every oracle-backed op
     has driver evidence within the last two rounds — and (b) the 35
     complex/shuffle-heavy ops that should stay recorded every round.
-    The 19 oracle-backed entries past the cap were all driver-green in
+    The 20 oracle-backed entries past the cap were all driver-green in
     CORRECTNESS_r04 or are r5-new (jsonl_gz_roundtrip, unigram_logprob,
-    knn_join, dedup_incremental); all 69 are
+    knn_join, dedup_incremental, feed_extract); all 70 are
     additionally checked by tools/self_correctness.py →
     CORRECTNESS_SELF.json and by tests/test_queries.py. The 10
     rows-only entries (no SQL oracle by nature) come last."""
@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": textops.unigram_logprob,
         "knn_join": ops.knn_join,
         "dedup_incremental": textops.dedup_incremental,
+        "feed_extract": textops.feed_extract,
         # rows-only (LSH / iterative / actor state — no SQL oracle;
         # locked by brute-force-oracle + golden tests instead):
         "doc_fingerprint": textops.doc_fingerprint,
@@ -313,6 +314,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, vec_id, cosine FROM (SELECT *, "
             "row_number() OVER (PARTITION BY query_id "
             "ORDER BY cosine DESC, vec_id) AS rn FROM s) WHERE rn <= 5"
+        ),
+        # Atom-feed ingestion: the envelope is a pure function of
+        # doc_id (doc_id % 3 + 1 entries), so the oracle reconstructs
+        # the exploded rows with generate_series
+        "feed_extract": (
+            "SELECT d.doc_id, i AS entry_idx, "
+            "'Entry ' || CAST(i AS VARCHAR) || ' of feed ' || "
+            "CAST(d.doc_id AS VARCHAR) AS title, "
+            "'https://feeds.example/' || CAST(d.doc_id AS VARCHAR) || "
+            "'/entry/' || CAST(i AS VARCHAR) AS url "
+            "FROM documents d, "
+            "UNNEST(generate_series(0, d.doc_id % 3)) AS t(i)"
         ),
         # incremental snapshot dedup: odd doc_ids are the "new
         # snapshot", even the "existing corpus"; keep new docs whose

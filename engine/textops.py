@@ -1678,6 +1678,61 @@ def css_extract(sf_dir: str):
     )
 
 
+def feed_extract(sf_dir: str):
+    """Syndication-feed ingestion as an oracle-checked query (the A31
+    site-scraper surface: the reference's scrapers poll feed endpoints
+    exactly like pages — FacebookScraper's JSON-cursor feed is the
+    same shape): each document is wrapped in a deterministic Atom
+    envelope with (doc_id % 3 + 1) entries plus CHANNEL-level
+    distractor title/link that the child-combinator selectors must
+    skip; 'entry > title, entry > link' is matched in ONE SAX pass per
+    feed (engine/css.py — link carries href, the HTML-void-element
+    form), and the result is exploded one row per entry — the
+    flat_map shape of feed ingestion. Stateless map_batches,
+    embarrassingly parallel; the selector compiles once at pipeline
+    construction. Oracle: the envelope is a pure function of doc_id,
+    so the SQL reconstructs the expected rows with generate_series."""
+    from engine.css import CssMatcher, compile_selector
+
+    sel = compile_selector("entry > title, entry > link")
+
+    def extract(t: pa.Table) -> pa.Table:
+        ids, idxs, titles, urls = [], [], [], []
+        for did in t["doc_id"].to_pylist():
+            n = did % 3 + 1
+            entries = "".join(
+                f"<entry><title>Entry {i} of feed {did}</title>"
+                f'<link href="https://feeds.example/{did}/entry/{i}"/>'
+                f"<id>tag:{did}:{i}</id></entry>"
+                for i in range(n)
+            )
+            feed = (
+                f"<feed><title>Feed {did}</title>"
+                f'<link href="https://feeds.example/{did}"/>'
+                f"{entries}</feed>"
+            )
+            hits = CssMatcher(sel).feed_html(feed)
+            e_titles = [h[2] for h in hits if h[0] == "title"]
+            e_urls = [h[1]["href"] for h in hits if h[0] == "link"]
+            for i, (ti, u) in enumerate(zip(e_titles, e_urls)):
+                ids.append(did)
+                idxs.append(i)
+                titles.append(ti)
+                urls.append(u)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "entry_idx": pa.array(idxs, pa.int64()),
+                "title": pa.array(titles, pa.string()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        extract, batch_format="pyarrow"
+    )
+
+
 def multimodal_frame_sample(sf_dir: str, concurrency=None):
     """Video-shaped pipeline: mint binary payloads, then the
     frame-sampling actor pool (one output row per sampled frame).
