@@ -36,7 +36,7 @@ BENCH_QUERIES = (
     "tfidf_topk", "repetition_filter", "pii_scrub", "histogram",
     "gopher_quality_filter", "paragraph_dedup", "pack_sequences",
     "join_range", "css_extract", "multimodal_frame_sample",
-    "unigram_logprob", "knn_join",
+    "unigram_logprob", "knn_join", "dedup_incremental", "feed_extract",
 )
 
 
