@@ -429,15 +429,19 @@ def unigram_logprob(src):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
-def dedup_incremental(src):
+def dedup_incremental(src, existing=None):
     """Incremental snapshot dedup — the production dedup shape when a
     NEW crawl snapshot lands next to an EXISTING corpus: keep only the
     new documents whose exact text does not already exist in the
-    reference corpus. Here the two corpora are a deterministic split
-    of the documents table (doc_id % 2 == 0 is the existing corpus,
-    odd the new snapshot) so the DuckDB oracle reproduces the
-    construction; a real user swaps either side for
-    read_parquet(<snapshot dir>) unchanged.
+    reference corpus.
+
+    Two-corpus form (the real-user call): `dedup_incremental(new_src,
+    existing=old_src)` — each side an sf_dir-style path or a Dataset
+    carrying (doc_id, text). One-corpus form (the oracle-checked
+    queries() entry): `existing=None` splits the documents table
+    deterministically (doc_id % 2 == 0 is the existing corpus, odd
+    the new snapshot) so the DuckDB oracle reproduces the
+    construction; both forms share every line past the split.
 
     Scale shape: each side gets an md5 text key in a stateless
     map_batches (the text column is dropped right there), then
@@ -445,14 +449,18 @@ def dedup_incremental(src):
     exchange over (new key rows + existing key rows) on the hashed
     bucket; the existing corpus ships only its key column, never its
     text, and nothing is broadcast or driver-materialized, so both
-    sides can be 100-TB tables."""
+    sides can be 100-TB tables. (At toy scale the bucketed exchange
+    is the dominant fixed cost — deliberately: the broadcast-key-set
+    fast path of ops.join_semi would be dishonest for an op whose
+    premise is that the existing-corpus key set does not fit anywhere
+    whole.)"""
     from engine.joins import semi_anti_bucketed
 
-    def side(parity: int):
-        docs = _docs(src, ["doc_id", "text"])
-
+    def keyed(ds, parity=None):
         def f(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), parity))
+            if parity is not None:
+                t = t.filter(
+                    pc.equal(pc.bit_wise_and(t["doc_id"], 1), parity))
             h = [hashlib.md5(x.encode()).hexdigest()
                  for x in t["text"].to_pylist()]
             return pa.table(
@@ -460,9 +468,15 @@ def dedup_incremental(src):
                  "text_md5": pa.array(h, pa.string())}
             )
 
-        return docs.map_batches(f, batch_format="pyarrow")
+        return ds.map_batches(f, batch_format="pyarrow")
 
-    return semi_anti_bucketed(side(1), side(0), on="text_md5",
+    if existing is None:
+        new_keys = keyed(_docs(src, ["doc_id", "text"]), parity=1)
+        old_keys = keyed(_docs(src, ["doc_id", "text"]), parity=0)
+    else:
+        new_keys = keyed(_docs(src, ["doc_id", "text"]))
+        old_keys = keyed(_docs(existing, ["doc_id", "text"]))
+    return semi_anti_bucketed(new_keys, old_keys, on="text_md5",
                               keep_present=False)
 
 

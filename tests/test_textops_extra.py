@@ -163,3 +163,31 @@ def test_heavy_hitters_pct2_vs_sql(ray_session):
         ).df()
     )
     pd.testing.assert_frame_equal(ray_df, sql_df)
+
+
+def test_dedup_incremental_two_corpus_form(ray_session):
+    """The real-user call — dedup_incremental(new_ds, existing=old_ds)
+    with two separate corpora — must produce exactly the rows of the
+    oracle-checked one-corpus parity-split form fed the same halves."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from engine import textops
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    import pyarrow.compute as pc
+
+    parity = pc.bit_wise_and(tbl["doc_id"], 1)
+    new_ds = rd.from_arrow(tbl.filter(pc.equal(parity, 1)))
+    old_ds = rd.from_arrow(tbl.filter(pc.equal(parity, 0)))
+
+    two = (
+        textops.dedup_incremental(new_ds, existing=old_ds)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    one = (
+        textops.dedup_incremental(SF)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(two, one)
+    assert len(one) > 0
